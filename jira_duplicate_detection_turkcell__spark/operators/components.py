@@ -1,0 +1,72 @@
+"""Distributed connected components — the C3 clustering stage.
+
+The reference's notion of a duplicate group is implicit (top-k search results,
+"replace duplicate" row deletion — api_server.py:785-813); the new engine
+makes it explicit: verified pairs are edges, clusters are connected
+components, every url gets a cluster id.
+
+Algorithm: iterative min-label propagation (hash joins only, no RDDs):
+each node's label becomes the min of its own and all neighbors' labels;
+iterate to fixpoint. Per-iteration `localCheckpoint` truncates lineage so the
+plan doesn't grow exponentially (SURVEY.md §4). Near-duplicate components are
+small and shallow (diameter ≤ a handful), so the fixpoint is reached in a few
+iterations; the iteration cap guards pathological chains — for adversarial
+long-chain graphs the large-star/small-star variant (Kiveris et al., "CC in
+MapReduce and Beyond") halves diameter per round and would slot in behind the
+same interface.
+
+Labels are the node keys themselves (min url = canonical representative), so
+the result is deterministic under any partitioning and collision-free at any
+scale — a 64-bit hash label would start colliding near 10^9-10^10 clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    key_col: str = "url",
+    max_iter: int = 25,
+) -> DataFrame:
+    """edges(key_l, key_r) + nodes(key) → (key, cluster_id) for every node.
+
+    ``cluster_id`` is the lexicographic-min member key of the component;
+    singletons get their own key.
+    """
+    sym = (
+        edges.select(F.col("key_l").alias("src"), F.col("key_r").alias("dst"))
+        .union(edges.select(F.col("key_r").alias("src"), F.col("key_l").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(key_col).alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels = labels.localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+
+    return labels.select(F.col("node").alias(key_col), F.col("label").alias("cluster_id"))

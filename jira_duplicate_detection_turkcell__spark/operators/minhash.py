@@ -1,0 +1,138 @@
+"""MinHash signatures + LSH band bucketing — the C1 dedup path.
+
+Replaces the reference's bi-encoder + per-platform FAISS top-k retrieval
+(src/embedding_pipeline.py:110-140, hybrid_search.py:357-419) with a
+deterministic, join-expressible scheme:
+
+    shingle hashes (JVM)  →  k-perm MinHash signature (numpy pandas UDF)
+    →  b bands × r rows, band hash (JVM)  →  bucket self-join  →  pairs
+
+Scale posture (SURVEY.md §4): the band table is repartitioned by band hash
+before grouping; hot buckets (boilerplate — many pages sharing a band) are
+detected with a cheap groupBy-count whose result is tiny and *broadcast* as
+an anti-join filter, bounding the O(m²) intra-bucket pair blowup; AQE skew
+join splitting is the backstop. Signature math is numpy uint64 (wrapping by
+construction) — never SQL arithmetic, which runs under ANSI mode.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERSENNE_P = np.uint64((1 << 61) - 1)
+
+
+def _permutations(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed affine permutation params (a odd, b) — deterministic per seed."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, 1 << 61, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature_udf(num_perm: int = 128, seed: int = 7):
+    """pandas UDF: array<long> shingle hashes → array<long> signature.
+
+    Vectorized across the whole Arrow batch: all rows' shingles are
+    concatenated into one uint64 vector; each permutation is one fused
+    multiply-add followed by a single ``np.minimum.reduceat`` over row
+    offsets — no per-row Python in the hot loop.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    a_params, b_params = _permutations(num_perm, seed)
+    empty_sig = np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
+
+    def compute(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for shingle_col in batch_iter:
+            lengths = shingle_col.map(len).to_numpy(dtype=np.int64)
+            flat = np.concatenate(
+                [np.asarray(v, dtype=np.int64) for v in shingle_col if len(v)]
+                or [np.array([], dtype=np.int64)]
+            ).view(np.uint64)
+            nonempty = lengths > 0
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
+            sigs = np.empty((len(shingle_col), num_perm), dtype=np.int64)
+            sigs[~nonempty] = empty_sig
+            if flat.size:
+                rows = np.empty((num_perm, offsets.size), dtype=np.uint64)
+                for k in range(num_perm):
+                    hv = (a_params[k] * flat + b_params[k]) % _MERSENNE_P
+                    rows[k] = np.minimum.reduceat(hv, offsets)
+                sigs[nonempty] = rows.T.astype(np.int64, copy=False)
+            yield pd.Series(list(sigs))
+
+    return pandas_udf(compute, "array<long>")
+
+
+def add_signature(
+    df: DataFrame,
+    shingles_col: str = "shingles",
+    sig_col: str = "minhash_sig",
+    num_perm: int = 128,
+    seed: int = 7,
+) -> DataFrame:
+    udf = minhash_signature_udf(num_perm, seed)
+    return df.withColumn(sig_col, udf(F.col(shingles_col)))
+
+
+def band_hash_expr(sig: Column, bands: int, rows: int) -> Column:
+    """array of b band hashes — xxhash64 over each r-row signature slice."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.xxhash64(F.slice(sig, j * rows + 1, rows)),
+    )
+
+
+def explode_bands(
+    df: DataFrame,
+    sig_col: str = "minhash_sig",
+    key_col: str = "url",
+    bands: int = 32,
+    rows: int = 4,
+) -> DataFrame:
+    """(key, band_id, band_hash) — one row per band per doc, JVM-side."""
+    return df.select(
+        F.col(key_col),
+        F.posexplode(band_hash_expr(F.col(sig_col), bands, rows)).alias(
+            "band_id", "band_hash"
+        ),
+    )
+
+
+def candidate_pairs(
+    bands_df: DataFrame,
+    key_col: str = "url",
+    max_bucket_size: int = 200,
+) -> tuple[DataFrame, DataFrame]:
+    """LSH bucket self-join → distinct candidate pairs (key_l < key_r).
+
+    Returns ``(pairs, hot_buckets)``. Buckets larger than
+    ``max_bucket_size`` (boilerplate mega-buckets: each would contribute
+    O(m²) pairs) are excluded from pairing via a *broadcast* left-anti join —
+    the hot-bucket list is tiny by construction — and returned for lineage
+    logging so dropped coverage is visible, never silent (SURVEY.md §7.5).
+    """
+    bucket_cols = ["band_id", "band_hash"]
+    # Repartition by the join key so the groupBy-count and the self-join
+    # reuse one shuffle instead of two.
+    bands_df = bands_df.repartition(*[F.col(c) for c in bucket_cols])
+    sizes = bands_df.groupBy(*bucket_cols).count()
+    hot = sizes.filter(F.col("count") > max_bucket_size)
+    cold = bands_df.join(F.broadcast(hot.select(*bucket_cols)), bucket_cols, "left_anti")
+
+    left = cold.select(*bucket_cols, F.col(key_col).alias("key_l"))
+    right = cold.select(*bucket_cols, F.col(key_col).alias("key_r"))
+    pairs = (
+        left.join(right, bucket_cols)
+        .where(F.col("key_l") < F.col("key_r"))
+        .select("key_l", "key_r")
+        .distinct()
+    )
+    return pairs, hot

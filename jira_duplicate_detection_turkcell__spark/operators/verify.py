@@ -1,0 +1,80 @@
+"""Exact pair verification — the C5 stage (replaces the cross-encoder re-rank,
+hybrid_search.py:424-455).
+
+Candidates from any path (MinHash bands, SimHash chunks, winnowing
+fingerprints) are verified with *exact* set similarity before becoming edges:
+Jaccard over distinct shingle-hash sets for MinHash/winnow candidates,
+Hamming distance for SimHash. Everything is JVM-side (`array_intersect` /
+`size` / `bit_count`) and touches only the candidate pairs — never O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attach_pair_columns(
+    pairs: DataFrame,
+    docs: DataFrame,
+    cols: list[str],
+    key_col: str = "url",
+) -> DataFrame:
+    """pairs(key_l, key_r) ⋈ docs → pairs + <col>_l / <col>_r columns.
+
+    Two hash equi-joins on the doc key; the docs side is pre-projected to the
+    needed columns so the shuffle carries no dead weight.
+    """
+    slim = docs.select(F.col(key_col), *[F.col(c) for c in cols])
+    left = slim.select(
+        F.col(key_col).alias("key_l"), *[F.col(c).alias(f"{c}_l") for c in cols]
+    )
+    right = slim.select(
+        F.col(key_col).alias("key_r"), *[F.col(c).alias(f"{c}_r") for c in cols]
+    )
+    return pairs.join(left, "key_l").join(right, "key_r")
+
+
+def jaccard_edges(
+    pairs: DataFrame,
+    docs_with_shingles: DataFrame,
+    threshold: float,
+    key_col: str = "url",
+    shingles_col: str = "shingles",
+) -> DataFrame:
+    """Verified edges (key_l, key_r, jaccard) with exact Jaccard ≥ threshold.
+
+    Shingle arrays are produced distinct (functions/shingle.py), so
+    |intersect| / (|A| + |B| − |intersect|) is exact set Jaccard, computed
+    in whole-stage codegen.
+    """
+    joined = attach_pair_columns(pairs, docs_with_shingles, [shingles_col], key_col)
+    inter = F.size(F.array_intersect(F.col(f"{shingles_col}_l"), F.col(f"{shingles_col}_r")))
+    union = (
+        F.size(F.col(f"{shingles_col}_l")) + F.size(F.col(f"{shingles_col}_r")) - inter
+    )
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("key_l", "key_r", "jaccard")
+    )
+
+
+def hamming_edges(
+    pairs: DataFrame,
+    docs_with_simhash: DataFrame,
+    max_distance: int,
+    key_col: str = "url",
+    simhash_col: str = "simhash",
+) -> DataFrame:
+    """Verified edges with exact 64-bit Hamming distance ≤ max_distance."""
+    joined = attach_pair_columns(pairs, docs_with_simhash, [simhash_col], key_col)
+    dist = F.bit_count(
+        F.col(f"{simhash_col}_l").bitwiseXOR(F.col(f"{simhash_col}_r"))
+    )
+    return (
+        joined.withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_distance)
+        .select("key_l", "key_r", "hamming")
+    )

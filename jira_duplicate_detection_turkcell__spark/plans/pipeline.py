@@ -1,0 +1,158 @@
+"""End-to-end dedup pipeline: pages → extract → sign → pair → verify → cluster.
+
+The batch re-expression of the reference's whole serving stack (SURVEY.md §3):
+its upload/index build (api_server.py:943-1218) is stages 0-1, its 3-stage
+hybrid search (hybrid_search.py:291-519) is stages 2-3 turned into a global
+self-"join" instead of one query at a time, and its implicit duplicate groups
+become explicit connected components.
+
+Every stage optionally commits through ``StageStore`` (resume = skip committed
+stages with a matching config fingerprint). The edge-list interface between
+candidate paths and clustering is uniform: (key_l, key_r) with key_l < key_r.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extract import extract_pages
+from ..functions.shingle import char_shingles, word_shingles
+from ..operators import minhash, simhash, suffix, verify
+from ..operators.components import connected_components
+from ..sources.checkpoint import StageStore
+
+
+@dataclass
+class DedupConfig:
+    # shingling
+    shingle_kind: str = "word"  # "word" | "char"
+    shingle_size: int = 3
+    # minhash / LSH
+    num_perm: int = 128
+    bands: int = 32
+    rows: int = 4  # bands*rows must equal num_perm
+    jaccard_threshold: float = 0.7
+    minhash_bucket_cap: int = 200
+    # simhash
+    enable_simhash: bool = True
+    hamming_max: int = 3
+    simhash_bucket_cap: int = 500
+    # substring / suffix-array
+    enable_substring: bool = False
+    substr_min_len: int = 48
+    substr_sample: int = 1
+    substr_bucket_cap: int = 200
+    # seeds
+    minhash_seed: int = 7
+
+    def fingerprint(self) -> str:
+        return hashlib.sha256(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]
+
+
+def shingle_expr(cfg: DedupConfig, text_col: str = "text"):
+    if cfg.shingle_kind == "char":
+        return char_shingles(F.col(text_col), cfg.shingle_size)
+    return word_shingles(F.col(text_col), cfg.shingle_size)
+
+
+def extract_stage(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, …) → docs(url, text), empty docs dropped."""
+    return (
+        extract_pages(pages)
+        .select("url", "text")
+        .filter(F.length("text") > 0)
+    )
+
+
+def signature_stage(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """docs(url, text) → + shingles, minhash_sig, simhash."""
+    out = docs.withColumn("shingles", shingle_expr(cfg))
+    out = minhash.add_signature(
+        out, "shingles", "minhash_sig", cfg.num_perm, cfg.minhash_seed
+    )
+    if cfg.enable_simhash:
+        out = simhash.add_simhash(out, "text", "simhash")
+    return out
+
+
+def minhash_edges(signed: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
+    bands_df = minhash.explode_bands(signed, "minhash_sig", "url", cfg.bands, cfg.rows)
+    pairs, hot = minhash.candidate_pairs(bands_df, "url", cfg.minhash_bucket_cap)
+    edges = verify.jaccard_edges(pairs, signed, cfg.jaccard_threshold, "url", "shingles")
+    return edges, hot
+
+
+def simhash_edges(signed: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
+    chunks = simhash.explode_chunks(signed, "simhash", "url")
+    pairs, hot = simhash.simhash_candidate_pairs(chunks, "url", cfg.simhash_bucket_cap)
+    edges = verify.hamming_edges(pairs, signed, cfg.hamming_max, "url", "simhash")
+    return edges, hot
+
+
+def substring_edges(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    return suffix.substring_edges(
+        docs, "text", "url", cfg.substr_min_len, cfg.substr_sample, cfg.substr_bucket_cap
+    )
+
+
+def run_dedup(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: DedupConfig | None = None,
+    store: StageStore | None = None,
+) -> dict[str, DataFrame]:
+    """Full pipeline. Returns {'docs', 'edges', 'clusters'} DataFrames.
+
+    With a ``store``, each stage is committed and a resumed run reuses every
+    stage whose manifest matches the current config fingerprint.
+    """
+    cfg = cfg or DedupConfig()
+    assert cfg.bands * cfg.rows == cfg.num_perm, "bands*rows must equal num_perm"
+    if store is not None:
+        store.config_fingerprint = cfg.fingerprint()
+
+    def stage(name: str, build, metrics: dict | None = None) -> DataFrame:
+        if store is None:
+            return build()
+        if store.is_committed(name):
+            return store.load(spark, name)
+        df = build()
+        store.commit(name, df, metrics)
+        return store.load(spark, name)
+
+    docs = stage("docs", lambda: extract_stage(pages))
+    signed = stage("signatures", lambda: signature_stage(docs, cfg))
+
+    edge_parts: list[DataFrame] = []
+    mh_edges = stage(
+        "edges_minhash",
+        lambda: minhash_edges(signed, cfg)[0].select("key_l", "key_r"),
+    )
+    edge_parts.append(mh_edges)
+    if cfg.enable_simhash:
+        sh_edges = stage(
+            "edges_simhash",
+            lambda: simhash_edges(signed, cfg)[0].select("key_l", "key_r"),
+        )
+        edge_parts.append(sh_edges)
+    if cfg.enable_substring:
+        ss_edges = stage(
+            "edges_substring",
+            lambda: substring_edges(docs, cfg).select("key_l", "key_r"),
+        )
+        edge_parts.append(ss_edges)
+
+    edges = edge_parts[0]
+    for e in edge_parts[1:]:
+        edges = edges.union(e)
+    edges = edges.distinct()
+
+    clusters = stage(
+        "clusters", lambda: connected_components(edges, docs, "url")
+    )
+    return {"docs": docs, "signatures": signed, "edges": edges, "clusters": clusters}

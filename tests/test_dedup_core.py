@@ -1,0 +1,153 @@
+"""Core dedup correctness vs brute-force oracles on the synthetic corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jira_duplicate_detection_turkcell__spark import synth
+from jira_duplicate_detection_turkcell__spark.plans import pipeline as P
+from jira_duplicate_detection_turkcell__spark.operators import components
+from tests import oracle_bruteforce as bf
+
+N_DOCS = 240
+CFG = P.DedupConfig(
+    shingle_size=3,
+    num_perm=128,
+    bands=32,
+    rows=4,
+    jaccard_threshold=0.7,
+    enable_simhash=True,
+    hamming_max=3,
+    # caps high enough that the 240-doc corpus never trips them; the skew
+    # test below exercises the capped path explicitly
+    minhash_bucket_cap=10_000,
+    simhash_bucket_cap=10_000,
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    pdf = synth.generate_pages_pdf(N_DOCS, seed=42)
+    return spark.createDataFrame(pdf)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, pages):
+    df = P.extract_stage(pages).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def texts(docs) -> dict[str, str]:
+    return {r["url"]: r["text"] for r in docs.collect()}
+
+
+@pytest.fixture(scope="module")
+def signed(docs):
+    df = P.signature_stage(docs, CFG).cache()
+    df.count()
+    return df
+
+
+def test_corpus_has_interesting_structure(texts):
+    truth = bf.bruteforce_jaccard_pairs(texts, CFG.shingle_size, CFG.jaccard_threshold)
+    assert len(truth) >= 20, f"corpus too easy: only {len(truth)} true dup pairs"
+
+
+def test_minhash_edges_match_bruteforce(signed, texts):
+    edges, hot = P.minhash_edges(signed, CFG)
+    found = {(r["key_l"], r["key_r"]) for r in edges.collect()}
+    truth = bf.bruteforce_jaccard_pairs(texts, CFG.shingle_size, CFG.jaccard_threshold)
+    # precision is exact by construction (pairs are verified with exact
+    # Jaccard); hash collisions are the only possible false positives
+    assert found <= truth
+    assert bf.pair_recall(found, truth) >= 0.99
+    assert hot.count() == 0
+
+
+def test_signature_determinism_across_partitioning(spark, docs):
+    a = P.signature_stage(docs.repartition(2), CFG)
+    b = P.signature_stage(docs.repartition(16), CFG)
+    rows_a = {r["url"]: (list(r["minhash_sig"]), r["simhash"]) for r in a.collect()}
+    rows_b = {r["url"]: (list(r["minhash_sig"]), r["simhash"]) for r in b.collect()}
+    assert rows_a == rows_b
+
+
+def test_simhash_pairs_exact_for_small_hamming(signed):
+    sims = {r["url"]: r["simhash"] for r in signed.select("url", "simhash").collect()}
+    truth = bf.bruteforce_hamming_pairs(sims, CFG.hamming_max)
+    edges, _hot = P.simhash_edges(signed, CFG)
+    found = {(r["key_l"], r["key_r"]) for r in edges.collect()}
+    # pigeonhole bucketing is exhaustive for d<=3 over 4 chunks → equality
+    assert found == truth
+
+
+def test_substring_edges_match_bruteforce(spark, docs, texts):
+    cfg = P.DedupConfig(enable_substring=True, substr_min_len=48)
+    edges = P.substring_edges(docs, cfg)
+    found = {(r["key_l"], r["key_r"]) for r in edges.collect()}
+    truth = bf.bruteforce_substring_pairs(texts, cfg.substr_min_len)
+    assert found == truth
+
+
+def test_connected_components_hand_graphs(spark):
+    nodes = spark.createDataFrame([(k,) for k in "abcdefg"], "url string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("e", "f")], "key_l string, key_r string"
+    )
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in components.connected_components(edges, nodes).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "d", "e": "e", "f": "e", "g": "g",
+    }
+
+
+def test_connected_components_chain(spark):
+    # a chain stresses iteration count: 12 nodes in one line
+    keys = [f"n{i:02d}" for i in range(12)]
+    nodes = spark.createDataFrame([(k,) for k in keys], "url string")
+    edges = spark.createDataFrame(
+        list(zip(keys, keys[1:])), "key_l string, key_r string"
+    )
+    got = components.connected_components(edges, nodes).collect()
+    assert {r["cluster_id"] for r in got} == {"n00"}
+
+
+def test_pipeline_end_to_end_recall(spark, pages, texts):
+    result = P.run_dedup(spark, pages, CFG)
+    assign = {r["url"]: r["cluster_id"] for r in result["clusters"].collect()}
+    assert set(assign) == set(texts)
+
+    truth_pairs = bf.bruteforce_jaccard_pairs(
+        texts, CFG.shingle_size, CFG.jaccard_threshold
+    )
+    truth_assign = bf.clusters_from_pairs(sorted(texts), truth_pairs)
+    found_cluster_pairs = bf.cluster_pairs(assign)
+    truth_cluster_pairs = bf.cluster_pairs(truth_assign)
+    assert bf.pair_recall(found_cluster_pairs, truth_cluster_pairs) >= 0.99
+
+    # exact-copy blocks (kind 0) must always co-cluster
+    pdf = synth.generate_pages_pdf(N_DOCS, seed=42)
+    for gid, grp in pdf[pdf.group_id >= 0].groupby("group_id"):
+        if grp.kind.iloc[0] == 0:
+            cids = {assign[u] for u in grp.url}
+            assert len(cids) == 1, f"exact group {gid} split: {cids}"
+
+
+def test_hot_bucket_cap_drops_boilerplate_pairs(spark, signed):
+    # with a tiny cap, mega-buckets are excluded and reported, not exploded
+    bands = P.minhash.explode_bands(signed, "minhash_sig", "url", CFG.bands, CFG.rows)
+    pairs, hot = P.minhash.candidate_pairs(bands, "url", max_bucket_size=2)
+    assert hot.count() > 0
+    # pairing still works and returns a bounded set
+    assert pairs.count() >= 0
+
+
+def test_generation_invariant_to_partitioning(spark):
+    a = synth.generate_pages_df(spark, 64, seed=42, partitions=2).orderBy("url").collect()
+    b = synth.generate_pages_df(spark, 64, seed=42, partitions=13).orderBy("url").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
