@@ -1,0 +1,73 @@
+"""Checkpoint/resume semantics: kill-after-stage-N → resume → identical output."""
+
+from __future__ import annotations
+
+import pytest
+
+from jira_duplicate_detection_turkcell__spark import synth
+from jira_duplicate_detection_turkcell__spark.plans import pipeline as P
+from jira_duplicate_detection_turkcell__spark.sources.checkpoint import StageStore
+
+CFG = P.DedupConfig(minhash_bucket_cap=10_000, simhash_bucket_cap=10_000)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame(synth.generate_pages_pdf(96, seed=42))
+
+
+def _assignments(result):
+    return {r["url"]: r["cluster_id"] for r in result["clusters"].collect()}
+
+
+def test_full_run_commits_all_stages(spark, pages, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ckpt_full")
+    store = StageStore(root)
+    result = P.run_dedup(spark, pages, CFG, store)
+    baseline = _assignments(result)
+    for stage in ["docs", "signatures", "edges_minhash", "edges_simhash", "clusters"]:
+        assert store.is_committed(stage), stage
+        m = store.manifest(stage)
+        assert m.row_count == sum(m.partition_rows.values())
+
+    # resume with everything committed → identical output, no recompute
+    again = P.run_dedup(spark, pages, CFG, StageStore(root))
+    assert _assignments(again) == baseline
+
+
+def test_kill_after_stage_then_resume(spark, pages, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ckpt_kill")
+    store = StageStore(root)
+    baseline = _assignments(P.run_dedup(spark, pages, CFG, store))
+
+    # simulate a crash mid-pipeline: later stages' commits are lost
+    store.invalidate("edges_simhash")
+    store.invalidate("clusters")
+    resumed = P.run_dedup(spark, pages, CFG, StageStore(root))
+    assert _assignments(resumed) == baseline
+
+
+def test_config_change_invalidates_checkpoints(spark, pages, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ckpt_cfg")
+    P.run_dedup(spark, pages, CFG, StageStore(root))
+
+    cfg2 = P.DedupConfig(
+        jaccard_threshold=0.5,
+        minhash_bucket_cap=10_000,
+        simhash_bucket_cap=10_000,
+    )
+    store2 = StageStore(root)
+    P.run_dedup(spark, pages, cfg2, store2)
+    # a different config fingerprint must not reuse stale commits
+    assert store2.config_fingerprint == cfg2.fingerprint()
+    assert store2.manifest("clusters").config_fingerprint == cfg2.fingerprint()
+
+
+def test_manifest_lineage_metrics(spark, pages, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ckpt_lineage")
+    store = StageStore(root)
+    P.run_dedup(spark, pages, CFG, store)
+    docs_manifest = store.manifest("docs")
+    assert docs_manifest.row_count > 0
+    assert len(docs_manifest.partition_rows) >= 1
+    assert docs_manifest.schema_ddl.startswith("struct<")
