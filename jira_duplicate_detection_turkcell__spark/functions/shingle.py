@@ -41,6 +41,24 @@ def word_shingles(text: Column, w: int = 3) -> Column:
     return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g, F.lit(XXHASH_SEED))))
 
 
+def word_gram_strings(text: Column, w: int = 3) -> Column:
+    """Distinct ``w``-word shingles as strings (array<string>).
+
+    Same gram semantics as `word_shingles` but unhashed — used where the
+    shingle itself must be join-key-visible (exact n-gram Jaccard with a
+    SQL-expressible oracle)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    grams = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(0), n - w),
+            lambda i: F.array_join(F.slice(toks, i + 1, w), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return F.array_distinct(grams)
+
+
 def char_shingles(text: Column, c: int = 9) -> Column:
     """Distinct xxhash64 hashes of all ``c``-char shingles (array<long>)."""
     n = F.length(text)

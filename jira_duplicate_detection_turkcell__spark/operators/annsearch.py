@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+The reference's FAISS ``IndexFlatIP`` top-k (hybrid_search.py:357-419) is an
+exact brute-force inner-product scan; the distributed equivalents here:
+
+* ``knn_topk`` — exact brute-force cosine top-k: broadcast the (small) query
+  set against the corpus, JVM-side ``zip_with``/``aggregate`` dot product,
+  per-query ``row_number`` window. This is the correctness baseline and is
+  exactly what FAISS IndexFlat computes.
+* ``cosine_pairs`` — exact all-pairs cosine ≥ threshold (self-join; small-n
+  verification baseline).
+* ``hyperplane_lsh_pairs`` — the scale path: random-hyperplane sign sketches
+  (numpy pandas UDF, fixed seed), multi-table banded bucket join, exact
+  cosine verification on candidates only. Same candidates→verify shape as the
+  MinHash path, so skew handling and caps carry over.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns, in double."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def knn_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus (self excluded).
+
+    The query side is broadcast — it is small by contract (the reference caps
+    top_k at 50 and serves one query at a time; here the whole query batch
+    rides the broadcast, and the corpus never shuffles).
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos", cosine_expr(F.col("query_vec"), F.col(vec_col)))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rn")
+    )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (baseline; O(n²) — small n only)."""
+    left = embeddings.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("v_l"))
+    right = embeddings.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("v_r"))
+    return (
+        left.join(right, F.col("id_l") < F.col("id_r"))
+        .withColumn("cos", cosine_expr(F.col("v_l"), F.col("v_r")))
+        .where(F.col("cos") >= threshold)
+        .select("id_l", "id_r")
+    )
+
+
+def _hyperplanes(n_tables: int, bits: int, dim: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_tables * bits, dim)).astype(np.float32)
+
+
+def sign_sketch_udf(n_tables: int = 8, bits: int = 16, dim: int = 64, seed: int = 11):
+    """pandas UDF: embedding → array of n_tables bucket codes (long each).
+
+    One matmul per Arrow batch: (batch, dim) @ (dim, n_tables*bits) → signs →
+    per-table packed integer bucket codes.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _hyperplanes(n_tables, bits, dim, seed)  # (T*B, dim)
+    weights = (1 << np.arange(bits, dtype=np.uint64))
+
+    def compute(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for col in batch_iter:
+            mat = np.vstack([np.asarray(v, dtype=np.float32) for v in col])
+            signs = (mat @ planes.T) > 0  # (batch, T*B)
+            codes = signs.reshape(len(col), n_tables, bits).astype(np.uint64)
+            packed = (codes * weights).sum(axis=2).astype(np.int64)  # (batch, T)
+            yield pd.Series(list(packed))
+
+    return pandas_udf(compute, "array<long>")
+
+
+def hyperplane_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    n_tables: int = 8,
+    bits: int = 16,
+    dim: int = 64,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """ANN pair search: hyperplane sketch buckets → join → exact verify."""
+    sketch = sign_sketch_udf(n_tables, bits, dim, seed)
+    sk = embeddings.select(
+        F.col(id_col), F.col(vec_col), sketch(F.col(vec_col)).alias("codes")
+    )
+    buckets = sk.select(
+        F.col(id_col), F.posexplode(F.col("codes")).alias("table_id", "code")
+    )
+    sizes = buckets.groupBy("table_id", "code").count()
+    hot = sizes.filter(F.col("count") > max_bucket_size)
+    cold = buckets.join(
+        F.broadcast(hot.select("table_id", "code")), ["table_id", "code"], "left_anti"
+    )
+    cand = (
+        cold.select("table_id", "code", F.col(id_col).alias("id_l"))
+        .join(
+            cold.select("table_id", "code", F.col(id_col).alias("id_r")),
+            ["table_id", "code"],
+        )
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+        .distinct()
+    )
+    left = embeddings.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("v_l"))
+    right = embeddings.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("v_r"))
+    return (
+        cand.join(left, "id_l")
+        .join(right, "id_r")
+        .withColumn("cos", cosine_expr(F.col("v_l"), F.col("v_r")))
+        .where(F.col("cos") >= threshold)
+        .select("id_l", "id_r")
+    )
