@@ -41,9 +41,15 @@ def connected_components(
         edges.select(F.col("key_l").alias("src"), F.col("key_r").alias("dst"))
         .union(edges.select(F.col("key_r").alias("src"), F.col("key_l").alias("dst")))
         .distinct()
+        # materialize once: the edge list is re-joined every iteration and must
+        # not drag the whole upstream pipeline lineage along with it
+        .localCheckpoint()
     )
-    labels = nodes.select(F.col(key_col).alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    # Only nodes with at least one edge participate in propagation; the
+    # (overwhelming at web scale) singleton majority bypasses the loop and is
+    # attached at the end with coalesce.
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     )
     labels = labels.localCheckpoint()
 
@@ -69,4 +75,15 @@ def connected_components(
         if n_changed == 0:
             break
 
-    return labels.select(F.col("node").alias(key_col), F.col("label").alias("cluster_id"))
+    assigned = labels.select(
+        F.col("node").alias(key_col), F.col("label").alias("cluster_id")
+    )
+    return (
+        nodes.select(key_col)
+        .distinct()
+        .join(assigned, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce(F.col("cluster_id"), F.col(key_col)).alias("cluster_id"),
+        )
+    )

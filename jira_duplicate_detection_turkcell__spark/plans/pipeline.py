@@ -118,7 +118,10 @@ def run_dedup(
 
     def stage(name: str, build, metrics: dict | None = None) -> DataFrame:
         if store is None:
-            return build()
+            # materialize each stage boundary: downstream consumers (several
+            # per stage, plus the CC iteration loop) must not re-execute the
+            # expensive extraction/signature UDFs once per action
+            return build().localCheckpoint()
         if store.is_committed(name):
             return store.load(spark, name)
         df = build()

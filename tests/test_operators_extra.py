@@ -1,0 +1,166 @@
+"""Tests for ANN search, text stats, exact dedup, n-gram Jaccard, multimodal
+plumbing — cross-checked against in-Python oracles on sf0.001 test data."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from itertools import combinations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jira_duplicate_detection_turkcell__spark.functions import multimodal, textstats as ts
+from jira_duplicate_detection_turkcell__spark.operators import annsearch, exact, jaccard
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def test_exact_dedup_groups(docs):
+    got = exact.exact_dup_groups(docs, "text", "doc_id").collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by_hash = {}
+    for i, t in texts.items():
+        by_hash.setdefault(hashlib.md5(t.encode()).hexdigest(), []).append(i)
+    assert {r["text_hash"]: (r["keep_id"], r["n_docs"]) for r in got} == {
+        h: (min(ids), len(ids)) for h, ids in by_hash.items()
+    }
+    survivors = exact.drop_exact_dups(docs, "text", "doc_id")
+    assert survivors.count() == len(by_hash)
+
+
+def test_ngram_jaccard_pairs_vs_python(docs):
+    from tests.oracle_bruteforce import bruteforce_jaccard_pairs
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    truth = bruteforce_jaccard_pairs(texts, 3, 0.5)
+    got = {
+        (r["id_l"], r["id_r"])
+        for r in jaccard.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 1, 2).collect()
+    }
+    assert got == truth
+
+
+def test_knn_topk_vs_numpy(emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    queries = {i: vecs[i] for i in vecs if i < 5}
+    truth = {}
+    for qid, qv in queries.items():
+        scored = sorted(
+            (
+                (-float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), vid)
+                for vid, v in vecs.items()
+                if vid != qid
+            )
+        )[:3]
+        truth[qid] = {vid for _, vid in scored}
+    got = annsearch.knn_topk(emb, emb.filter(F.col("vec_id") < 5), 3).collect()
+    got_sets: dict[int, set] = {}
+    for r in got:
+        got_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert got_sets == truth
+
+
+def test_cosine_pairs_vs_numpy(emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    truth = set()
+    for a, b in combinations(sorted(vecs), 2):
+        c = float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+        if c >= 0.45:
+            truth.add((a, b))
+    got = {(r["id_l"], r["id_r"]) for r in annsearch.cosine_pairs(emb, 0.45).collect()}
+    assert got == truth
+
+
+def test_hyperplane_lsh_subset_of_bruteforce(emb):
+    brute = {(r["id_l"], r["id_r"]) for r in annsearch.cosine_pairs(emb, 0.45).collect()}
+    got = {
+        (r["id_l"], r["id_r"])
+        for r in annsearch.hyperplane_lsh_pairs(
+            emb, 0.45, n_tables=32, bits=4, dim=64
+        ).collect()
+    }
+    assert got <= brute  # verification is exact → no false positives
+    if brute:
+        assert len(got) / len(brute) >= 0.9  # recall at tuned config
+
+
+def test_token_stats_vs_python(docs):
+    got = {r["doc_id"]: r for r in docs.select("doc_id", *ts.quality_columns(F.col("text"))).collect()}
+    for r in docs.collect():
+        t = r["text"]
+        toks = re.split(r"\s+", t.strip()) if t.strip() else []
+        g = got[r["doc_id"]]
+        assert g["n_chars"] == len(t)
+        assert g["n_tokens"] == len(toks)
+        assert g["n_uniq_tokens"] == len(set(toks))
+        assert g["n_token_chars"] == len(re.sub(r"\s+", "", t))
+        assert g["n_punct"] == sum(ch in ".,;:!?" for ch in t)
+        assert g["n_digits"] == sum(ch.isdigit() and ch.isascii() for ch in t)
+
+
+def test_langid_deterministic_and_valid(docs):
+    got = docs.select("doc_id", ts.langid_heuristic(F.col("text")).alias("p")).collect()
+    allowed = set(ts.LANG_MARKERS) | {"unknown"}
+    assert all(r["p"] in allowed for r in got)
+    again = docs.select("doc_id", ts.langid_heuristic(F.col("text")).alias("p")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_fingerprint_matches_python(docs):
+    got = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", ts.fingerprint_md5(F.col("text")).alias("fp")).collect()}
+    for r in docs.collect():
+        norm = re.sub(r"\s+", " ", r["text"].lower()).strip()
+        assert got[r["doc_id"]] == hashlib.md5(norm.encode()).hexdigest()
+
+
+def test_multimodal_metadata_and_fake_decode(spark):
+    payloads = [(1, b"hello world"), (2, b""), (3, bytes(range(256)))]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    meta = {r["doc_id"]: r for r in multimodal.binary_metadata(df, "payload").collect()}
+    for i, p in payloads:
+        assert meta[i]["n_bytes"] == len(p)
+        assert meta[i]["content_sha256"] == hashlib.sha256(p).hexdigest()
+
+    feats = {r["doc_id"]: r for r in multimodal.extract_features(df, "payload", fake=True).collect()}
+    assert len(feats[3]["feature"]) == multimodal.FEATURE_DIM
+    assert all(math.isfinite(x) for x in feats[3]["feature"])
+    assert list(feats[2]["feature"]) == [0.0] * multimodal.FEATURE_DIM
+
+
+def test_multimodal_real_decode_raises(spark):
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    with pytest.raises(Exception) as exc_info:
+        multimodal.extract_features(df, "payload", fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "codec" in str(exc_info.value)
+
+
+def test_no_slow_udfs_in_package():
+    """Grep gate (SURVEY.md §7.6): no row-at-a-time udf / RDD usage."""
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "jira_duplicate_detection_turkcell__spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        src = py.read_text()
+        if re.search(r"\bF\.udf\(|\budf\(lambda|\.rdd\b|\brdd\.map\b", src):
+            offenders.append(str(py))
+    assert not offenders, offenders
