@@ -22,23 +22,54 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def token_hashes(text: Column) -> Column:
+    """Non-distinct xxhash64 per token (tf preserved) — the shared input for
+    both shingling (tuple-hash grams) and SimHash (bit votes)."""
+    return F.transform(tokens(text), lambda t: F.xxhash64(t, F.lit(XXHASH_SEED)))
+
+
+def word_shingles_from_hashes(th: Column, toks: Column, w: int = 3) -> Column:
+    """Distinct gram hashes from a precomputed token-hash array (see
+    `word_shingles` for gram-identity semantics)."""
+    n = F.size(th)
+    grams = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(0), n - w),
+            lambda i: F.xxhash64(*[F.get(th, i + j) for j in range(w)]),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.array_join(toks, " "), F.lit(XXHASH_SEED))))
+    return F.array_distinct(grams)
+
+
 def word_shingles(text: Column, w: int = 3) -> Column:
-    """Distinct xxhash64 hashes of all ``w``-word shingles.
+    """Distinct 64-bit hashes of all ``w``-word shingles (array<long>).
+
+    Gram identity is the *token-hash tuple*: each token is xxhash64'd once,
+    then each gram is a fixed-arity xxhash64 over its ``w`` token hashes —
+    no per-gram string slicing/joining, which profiling showed dominated the
+    whole signature stage (string `slice`+`array_join` per gram allocates
+    O(tokens × w) and was ~20× the cost of the MinHash UDF itself). The
+    hashed-tuple set induces exactly the same Jaccard as the string-gram set
+    (tokens contain no whitespace, so tuple ↔ joined-string is a bijection,
+    modulo 64-bit collisions).
 
     Documents shorter than ``w`` tokens contribute their whole token string
-    as a single shingle, so short docs still participate in dedup instead of
-    vanishing. Output: ``array<long>`` (distinct, order irrelevant).
+    as one shingle, so short docs still participate in dedup instead of
+    vanishing; short-doc grams only ever equal other short-doc grams, exactly
+    as with string grams.
     """
     toks = tokens(text)
+    th = F.transform(toks, lambda t: F.xxhash64(t, F.lit(XXHASH_SEED)))
     n = F.size(toks)
     grams = F.when(
         n >= w,
         F.transform(
             F.sequence(F.lit(0), n - w),
-            lambda i: F.array_join(F.slice(toks, i + 1, w), " "),
+            lambda i: F.xxhash64(*[F.get(th, i + j) for j in range(w)]),
         ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
-    return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g, F.lit(XXHASH_SEED))))
+    ).otherwise(F.array(F.xxhash64(F.array_join(toks, " "), F.lit(XXHASH_SEED))))
+    return F.array_distinct(grams)
 
 
 def word_gram_strings(text: Column, w: int = 3) -> Column:

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..extract import extract_pages
 from ..functions.shingle import char_shingles, word_shingles
-from ..operators import minhash, simhash, suffix, verify
+from ..operators import minhash, signatures, simhash, suffix, verify
 from ..operators.components import connected_components
 from ..sources.checkpoint import StageStore
 
@@ -70,7 +70,21 @@ def extract_stage(pages: DataFrame) -> DataFrame:
 
 
 def signature_stage(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """docs(url, text) → + shingles, minhash_sig, simhash."""
+    """docs(url, text) → + shingles, minhash_sig, simhash.
+
+    Word shingling uses the fused one-pass path (operators/signatures.py):
+    one tokenization, one Python round-trip for both signature kinds. Char
+    shingling falls back to the per-operator composition.
+    """
+    if cfg.shingle_kind == "word":
+        return signatures.add_signatures(
+            docs,
+            text_col="text",
+            shingle_w=cfg.shingle_size,
+            num_perm=cfg.num_perm,
+            seed=cfg.minhash_seed,
+            with_simhash=cfg.enable_simhash,
+        )
     out = docs.withColumn("shingles", shingle_expr(cfg))
     out = minhash.add_signature(
         out, "shingles", "minhash_sig", cfg.num_perm, cfg.minhash_seed
