@@ -36,14 +36,16 @@ def _flatten(col: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return flat, lengths, offsets
 
 
-def fused_signature_udf(num_perm: int = 128, seed: int = 7, with_simhash: bool = True):
-    from pyspark.sql.functions import pandas_udf
-
+def fused_compute(num_perm: int = 128, seed: int = 7, with_simhash: bool = True):
+    """Build the raw batch-iterator kernel (JVM-free; unit-testable)."""
     a_params, b_params = _permutations(num_perm, seed)
     empty_sig = np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
     bit_idx = np.arange(64, dtype=np.uint64)
 
     def compute(batch_iter: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+        # reusable scratch buffers — per-batch allocation churn across many
+        # concurrent workers was the measured anti-scaling culprit
+        hv_buf = np.empty(0, dtype=np.uint64)
         for shingle_col, tok_col in batch_iter:
             # ---- MinHash over distinct shingle hashes
             flat, lengths, offsets = _flatten(shingle_col)
@@ -51,29 +53,56 @@ def fused_signature_udf(num_perm: int = 128, seed: int = 7, with_simhash: bool =
             sigs = np.empty((len(shingle_col), num_perm), dtype=np.int64)
             sigs[~nonempty] = empty_sig
             if flat.size:
+                if hv_buf.size < flat.size:
+                    hv_buf = np.empty(flat.size, dtype=np.uint64)
+                hv = hv_buf[: flat.size]
                 rows = np.empty((num_perm, offsets.size), dtype=np.uint64)
                 for k in range(num_perm):
-                    hv = (a_params[k] * flat + b_params[k]) % _MERSENNE_P
+                    np.multiply(a_params[k], flat, out=hv)
+                    np.add(hv, b_params[k], out=hv)
+                    np.mod(hv, _MERSENNE_P, out=hv)
                     rows[k] = np.minimum.reduceat(hv, offsets)
                 sigs[nonempty] = rows.T.astype(np.int64, copy=False)
 
-            # ---- SimHash over tf-weighted token hashes
+            # ---- SimHash over tf-weighted token hashes, chunked so the
+            # (tokens × 64) vote expansion stays cache-sized per step
             sim = np.zeros(len(tok_col), dtype=np.int64)
             if with_simhash:
                 tflat, tlengths, toffsets = _flatten(tok_col)
                 tnonempty = tlengths > 0
+                n_rows = int(tnonempty.sum())
                 if tflat.size:
-                    votes = (
-                        ((tflat[:, None] >> bit_idx) & np.uint64(1)).astype(np.int16) * 2 - 1
-                    )
-                    sums = np.add.reduceat(votes.astype(np.int32), toffsets, axis=0)
+                    sums = np.zeros((n_rows, 64), dtype=np.int32)
+                    chunk = 65536  # tokens per step → ≤ 32 MB of transients
+                    for s in range(0, tflat.size, chunk):
+                        e = min(s + chunk, tflat.size)
+                        votes = (
+                            ((tflat[s:e, None] >> bit_idx) & np.uint64(1)).astype(np.int32)
+                            * 2 - 1
+                        )
+                        # rows intersecting [s, e): reduceat over the row
+                        # starts clipped into the chunk, accumulate into sums
+                        first = int(np.searchsorted(toffsets, s, side="right")) - 1
+                        local = toffsets[(toffsets > s) & (toffsets < e)]
+                        bounds = np.concatenate(([s], local)).astype(np.int64) - s
+                        seg = np.add.reduceat(votes, bounds, axis=0)
+                        sums[first : first + len(bounds)] += seg
                     bits = (sums > 0).astype(np.uint64)
                     packed = (bits << bit_idx).sum(axis=1, dtype=np.uint64)
                     sim[tnonempty] = packed.view(np.int64)
 
             yield pd.DataFrame({"minhash_sig": list(sigs), "simhash": sim})
 
-    return pandas_udf(compute, "minhash_sig array<long>, simhash long")
+    return compute
+
+
+def fused_signature_udf(num_perm: int = 128, seed: int = 7, with_simhash: bool = True):
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(
+        fused_compute(num_perm, seed, with_simhash),
+        "minhash_sig array<long>, simhash long",
+    )
 
 
 def add_signatures(

@@ -77,7 +77,7 @@ def signature_stage(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     shingling falls back to the per-operator composition.
     """
     if cfg.shingle_kind == "word":
-        return signatures.add_signatures(
+        out = signatures.add_signatures(
             docs,
             text_col="text",
             shingle_w=cfg.shingle_size,
@@ -85,13 +85,16 @@ def signature_stage(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
             seed=cfg.minhash_seed,
             with_simhash=cfg.enable_simhash,
         )
-    out = docs.withColumn("shingles", shingle_expr(cfg))
-    out = minhash.add_signature(
-        out, "shingles", "minhash_sig", cfg.num_perm, cfg.minhash_seed
-    )
-    if cfg.enable_simhash:
-        out = simhash.add_simhash(out, "text", "simhash")
-    return out
+    else:
+        out = docs.withColumn("shingles", shingle_expr(cfg))
+        out = minhash.add_signature(
+            out, "shingles", "minhash_sig", cfg.num_perm, cfg.minhash_seed
+        )
+        if cfg.enable_simhash:
+            out = simhash.add_simhash(out, "text", "simhash")
+    # the signature table is the widest thing the pipeline materializes;
+    # dropping text (available from the docs stage) halves its on-wire size
+    return out.drop("text")
 
 
 def minhash_edges(signed: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
@@ -132,10 +135,14 @@ def run_dedup(
 
     def stage(name: str, build, metrics: dict | None = None) -> DataFrame:
         if store is None:
-            # materialize each stage boundary: downstream consumers (several
-            # per stage, plus the CC iteration loop) must not re-execute the
-            # expensive extraction/signature UDFs once per action
-            return build().localCheckpoint()
+            # materialize each stage boundary so downstream consumers (several
+            # per stage, plus the CC iteration loop) don't re-execute the
+            # expensive extraction/signature UDFs once per action. persist()
+            # keeps the columnar cache format — profiling showed localCheckpoint
+            # row-serialization dominated the whole pipeline on wide stages.
+            df = build().persist()
+            df.count()
+            return df
         if store.is_committed(name):
             return store.load(spark, name)
         df = build()

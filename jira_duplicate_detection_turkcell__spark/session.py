@@ -21,7 +21,9 @@ _BASE_CONF: dict[str, str] = {
     # Arrow transfer for pandas UDFs / mapInPandas — the only Python that
     # ever touches row data runs vectorized over Arrow batches.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # modest batches keep per-worker UDF temporaries cache-sized; large
+    # batches measurably anti-scale at high worker counts on one socket
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
     # AQE: runtime coalescing of small shuffle partitions + skew-join
     # splitting. LSH band buckets on boilerplate pages are skewed by
     # construction; AQE is the backstop behind explicit salting.
@@ -66,7 +68,7 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(default_parallelism))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     for k, v in _BASE_CONF.items():
         builder = builder.config(k, v)
