@@ -35,20 +35,43 @@ def attach_pair_columns(
     return pairs.join(left, "key_l").join(right, "key_r")
 
 
+def signature_agreement(sig_l: F.Column, sig_r: F.Column) -> F.Column:
+    """Fraction of agreeing MinHash positions — an unbiased Jaccard estimate."""
+    agree = F.aggregate(
+        F.zip_with(sig_l, sig_r, lambda a, b: F.when(a == b, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return agree.cast("double") / F.size(sig_l).cast("double")
+
+
 def jaccard_edges(
     pairs: DataFrame,
     docs_with_shingles: DataFrame,
     threshold: float,
     key_col: str = "url",
     shingles_col: str = "shingles",
+    sig_col: str | None = None,
+    prefilter_margin: float = 0.15,
 ) -> DataFrame:
     """Verified edges (key_l, key_r, jaccard) with exact Jaccard ≥ threshold.
 
     Shingle arrays are produced distinct (functions/shingle.py), so
     |intersect| / (|A| + |B| − |intersect|) is exact set Jaccard, computed
     in whole-stage codegen.
+
+    With ``sig_col`` set, a cheap MinHash-agreement estimate screens the
+    candidate pairs first and only survivors (estimate ≥ threshold − margin)
+    pay for the exact set intersection. The estimator's std at k=128 is
+    ≤ 0.045, so the default margin ≈ 3.3σ keeps per-pair miss probability
+    ≈ 0.04% while cutting exact-verify volume by orders of magnitude on
+    boilerplate-heavy corpora (the measured hot spot at 10^5+ docs).
     """
-    joined = attach_pair_columns(pairs, docs_with_shingles, [shingles_col], key_col)
+    cols = [shingles_col] + ([sig_col] if sig_col else [])
+    joined = attach_pair_columns(pairs, docs_with_shingles, cols, key_col)
+    if sig_col:
+        est = signature_agreement(F.col(f"{sig_col}_l"), F.col(f"{sig_col}_r"))
+        joined = joined.filter(est >= threshold - prefilter_margin)
     inter = F.size(F.array_intersect(F.col(f"{shingles_col}_l"), F.col(f"{shingles_col}_r")))
     union = (
         F.size(F.col(f"{shingles_col}_l")) + F.size(F.col(f"{shingles_col}_r")) - inter

@@ -98,9 +98,20 @@ def signature_stage(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def minhash_edges(signed: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
-    bands_df = minhash.explode_bands(signed, "minhash_sig", "url", cfg.bands, cfg.rows)
+    # the band table feeds three consumers inside candidate_pairs (bucket
+    # sizing, both join sides) — materialize it once instead of re-exploding
+    bands_df = minhash.explode_bands(
+        signed, "minhash_sig", "url", cfg.bands, cfg.rows
+    ).persist()
     pairs, hot = minhash.candidate_pairs(bands_df, "url", cfg.minhash_bucket_cap)
-    edges = verify.jaccard_edges(pairs, signed, cfg.jaccard_threshold, "url", "shingles")
+    edges = verify.jaccard_edges(
+        pairs,
+        signed,
+        cfg.jaccard_threshold,
+        "url",
+        "shingles",
+        sig_col="minhash_sig",
+    )
     return edges, hot
 
 

@@ -31,8 +31,18 @@ from typing import Iterator
 import pandas as pd
 
 BLOCK = 8
-N_SITES = 20
+MIN_SITES = 20
 EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def n_sites_for(n_docs: int) -> int:
+    """Site count grows with the corpus (one site per ~64 docs, ≥ 20).
+
+    A fixed site count would make per-site boilerplate groups grow linearly
+    with corpus size and their candidate pairs quadratically — unrealistic for
+    a web crawl and a benchmark artifact rather than a skew test. Hot-bucket
+    capping is exercised explicitly in tests instead."""
+    return max(MIN_SITES, n_docs // 64)
 
 _VOCAB_EN = (
     "page web crawl data spark shuffle join filter window batch stream table "
@@ -92,7 +102,7 @@ def _group_size(block: int) -> int:
     return 2 + (block % 3)
 
 
-def page_body(seed: int, i: int) -> tuple[str, int, int]:
+def page_body(seed: int, i: int, n_sites: int = MIN_SITES) -> tuple[str, int, int]:
     """Return (raw_body, group_id, kind) for global row index ``i``.
 
     group_id is a *hint*: docs sharing group_id were generated from the same
@@ -101,7 +111,7 @@ def page_body(seed: int, i: int) -> tuple[str, int, int]:
     """
     block, member = divmod(i, BLOCK)
     kind = _block_kind(block)
-    site = block % N_SITES
+    site = block % n_sites
     base_rng = _rng(seed, 0xD0C, block)
     base_sents = _sentences(base_rng, base_rng.randint(8, 15))
 
@@ -139,10 +149,10 @@ def page_body(seed: int, i: int) -> tuple[str, int, int]:
     return body, group_id, kind
 
 
-def page_row(seed: int, i: int) -> dict:
-    body, group_id, kind = page_body(seed, i)
+def page_row(seed: int, i: int, n_sites: int = MIN_SITES) -> dict:
+    body, group_id, kind = page_body(seed, i, n_sites)
     block = i // BLOCK
-    site = block % N_SITES
+    site = block % n_sites
     html = (
         f"<html><head><title>site{site} doc{i}</title></head><body>"
         f"<nav>site{site} navigation home products about contact</nav>"
@@ -161,7 +171,8 @@ def page_row(seed: int, i: int) -> dict:
 
 def generate_pages_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
     """Small-scale pandas generation for unit tests (single process)."""
-    return pd.DataFrame([page_row(seed, i) for i in range(n_docs)])
+    ns = n_sites_for(n_docs)
+    return pd.DataFrame([page_row(seed, i, ns) for i in range(n_docs)])
 
 
 PAGES_SCHEMA = (
@@ -173,10 +184,11 @@ PAGES_SCHEMA = (
 def generate_pages_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
     """Distributed generation: spark.range → mapInPandas, pure f(seed, id)."""
     rng_seed = seed  # capture plain int, not a Spark conf object
+    ns = n_sites_for(n_docs)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            yield pd.DataFrame([page_row(rng_seed, int(i)) for i in b["id"]])
+            yield pd.DataFrame([page_row(rng_seed, int(i), ns) for i in b["id"]])
 
     base = spark.range(0, n_docs, numPartitions=partitions)
     return base.mapInPandas(gen, PAGES_SCHEMA)

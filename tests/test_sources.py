@@ -1,0 +1,57 @@
+"""Source-surface tests: robust CSV grid scan, pages schema round-trip."""
+
+from __future__ import annotations
+
+import pytest
+
+from jira_duplicate_detection_turkcell__spark import synth
+from jira_duplicate_detection_turkcell__spark.sources import ingest
+
+
+def test_read_csv_robust_semicolon(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text(
+        "A;B;C;D;E\n1;x;y;z;w\n2;q;r;s;t\n", encoding="utf-8"
+    )
+    df = ingest.read_csv_robust(spark, str(p))
+    assert df.columns == ["A", "B", "C", "D", "E"]
+    assert df.count() == 2
+
+
+def test_read_csv_robust_comma_with_quotes(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text(
+        'A,B,C,D,E\n1,"multi\nline",y,z,w\n', encoding="utf-8"
+    )
+    df = ingest.read_csv_robust(spark, str(p))
+    assert df.count() == 1
+    assert "multi\nline" in df.collect()[0]["B"]
+
+
+def test_read_csv_robust_bom_header(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_bytes("﻿A;B;C;D;E\n1;2;3;4;5\n".encode("utf-8"))
+    df = ingest.read_csv_robust(spark, str(p))
+    assert "A" in df.columns
+
+
+def test_validate_columns_raises(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("A;B;C;D;E\n1;2;3;4;5\n")
+    df = ingest.read_csv_robust(spark, str(p))
+    ingest.validate_columns(df, ["A", "B"])  # present → no raise
+    with pytest.raises(ValueError, match="missing"):
+        ingest.validate_columns(df, ["A", "ZZZ"])
+
+
+def test_pages_write_read_roundtrip(spark, tmp_path):
+    pages = spark.createDataFrame(synth.generate_pages_pdf(16, seed=42)).withColumn(
+        "text", __import__("pyspark").sql.functions.lit(None).cast("string")
+    )
+    out = tmp_path / "pages"
+    ingest.write_pages(pages, str(out))
+    back = ingest.read_pages(spark, str(out))
+    assert back.count() == 16
+    assert [f.name for f in back.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
