@@ -160,34 +160,57 @@ def run_dedup(
         store.commit(name, df, metrics)
         return store.load(spark, name)
 
-    docs = stage("docs", lambda: extract_stage(pages))
+    if store is not None:
+        # checkpointed mode: every stage is a durable commit (resumable)
+        docs = stage("docs", lambda: extract_stage(pages))
+        signed = stage("signatures", lambda: signature_stage(docs, cfg))
+
+        edge_parts: list[DataFrame] = [
+            stage(
+                "edges_minhash",
+                lambda: minhash_edges(signed, cfg)[0].select("key_l", "key_r"),
+            )
+        ]
+        if cfg.enable_simhash:
+            edge_parts.append(
+                stage(
+                    "edges_simhash",
+                    lambda: simhash_edges(signed, cfg)[0].select("key_l", "key_r"),
+                )
+            )
+        if cfg.enable_substring:
+            edge_parts.append(
+                stage(
+                    "edges_substring",
+                    lambda: substring_edges(docs, cfg).select("key_l", "key_r"),
+                )
+            )
+        edges = edge_parts[0]
+        for e in edge_parts[1:]:
+            edges = edges.union(e)
+        edges = edges.distinct()
+        clusters = stage("clusters", lambda: connected_components(edges, docs, "url"))
+        return {"docs": docs, "signatures": signed, "edges": edges, "clusters": clusters}
+
+    # in-memory mode: minimize materialization barriers — each Spark action
+    # carries fixed scheduler/AQE latency, and at 10^5-10^6 docs the job count,
+    # not compute, set the wall-clock floor (measured: 120 jobs ≈ 2 min serial
+    # floor). Only two wide tables are pinned: signatures and the edge list.
+    docs = extract_stage(pages)
+    if cfg.enable_substring:
+        docs = docs.persist()  # substring path re-reads text
     signed = stage("signatures", lambda: signature_stage(docs, cfg))
 
-    edge_parts: list[DataFrame] = []
-    mh_edges = stage(
-        "edges_minhash",
-        lambda: minhash_edges(signed, cfg)[0].select("key_l", "key_r"),
-    )
-    edge_parts.append(mh_edges)
+    edges_plan = minhash_edges(signed, cfg)[0].select("key_l", "key_r")
     if cfg.enable_simhash:
-        sh_edges = stage(
-            "edges_simhash",
-            lambda: simhash_edges(signed, cfg)[0].select("key_l", "key_r"),
+        edges_plan = edges_plan.union(
+            simhash_edges(signed, cfg)[0].select("key_l", "key_r")
         )
-        edge_parts.append(sh_edges)
     if cfg.enable_substring:
-        ss_edges = stage(
-            "edges_substring",
-            lambda: substring_edges(docs, cfg).select("key_l", "key_r"),
+        edges_plan = edges_plan.union(
+            substring_edges(docs, cfg).select("key_l", "key_r")
         )
-        edge_parts.append(ss_edges)
+    edges = stage("edges", lambda: edges_plan.distinct())
 
-    edges = edge_parts[0]
-    for e in edge_parts[1:]:
-        edges = edges.union(e)
-    edges = edges.distinct()
-
-    clusters = stage(
-        "clusters", lambda: connected_components(edges, docs, "url")
-    )
+    clusters = connected_components(edges, signed.select("url"), "url")
     return {"docs": docs, "signatures": signed, "edges": edges, "clusters": clusters}
