@@ -44,18 +44,37 @@ HEADLINE = [
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
 
 
+# The scaling comparison must hold the *input* fixed across parallelism
+# levels: a real cluster reads the same partitioned table whether it has N
+# or 4N executors. So the pages corpus is materialized to parquet once
+# (untimed — corpus synthesis is bench scaffolding, not engine work; the
+# north-rule input is an Iceberg/parquet table) with a constant partition
+# count, and only the table→clusters pipeline is timed.
+PAGES_PARTITIONS = 64
+
+
 def run_pages_pipeline(spark, n_docs: int) -> tuple[float, int]:
-    """Full synthetic-pages dedup pipeline; returns (seconds, n_clusters)."""
+    """Pages-table dedup pipeline; returns (seconds, n_clusters)."""
+    import shutil
+    import tempfile
+
     from jira_duplicate_detection_turkcell__spark import synth
     from jira_duplicate_detection_turkcell__spark.plans import pipeline as P
 
     cfg = P.DedupConfig()
-    parallelism = spark.sparkContext.defaultParallelism
-    pages = synth.generate_pages_df(spark, n_docs, seed=42, partitions=parallelism * 2)
-    t0 = time.time()
-    result = P.run_dedup(spark, pages, cfg)
-    n_clusters = result["clusters"].select("cluster_id").distinct().count()
-    return time.time() - t0, n_clusters
+    tmp = tempfile.mkdtemp(prefix="bench_pages_")
+    try:
+        path = f"{tmp}/pages.parquet"
+        synth.generate_pages_df(
+            spark, n_docs, seed=42, partitions=PAGES_PARTITIONS
+        ).write.parquet(path)
+        pages = spark.read.parquet(path)
+        t0 = time.time()
+        result = P.run_dedup(spark, pages, cfg)
+        n_clusters = result["clusters"].select("cluster_id").distinct().count()
+        return time.time() - t0, n_clusters
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main():

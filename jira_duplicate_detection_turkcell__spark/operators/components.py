@@ -53,14 +53,14 @@ def connected_components(
     )
     labels = labels.localCheckpoint()
 
-    for _ in range(max_iter):
+    def propagate(lbls):
         neighbor_min = (
-            sym.join(labels, sym.dst == labels.node)
+            sym.join(lbls, sym.dst == lbls.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+        return (
+            lbls.join(neighbor_min, lbls.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(
@@ -69,7 +69,15 @@ def connected_components(
                 (F.col("nbr_label") < F.col("label")).alias("changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint()
+
+    # Each materialization runs TWO propagation hops (so label information
+    # travels 2^k edges after k rounds on path graphs would need large-star;
+    # for the shallow near-dup components here it simply halves the number
+    # of driver round-trips), and the convergence count doubles as the
+    # materializing action — one Spark job per round instead of four.
+    for _ in range(max_iter):
+        stepped = propagate(propagate(labels).drop("changed"))
+        new_labels = stepped.localCheckpoint(eager=False)
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:

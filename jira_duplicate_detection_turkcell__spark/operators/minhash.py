@@ -120,12 +120,22 @@ def candidate_pairs(
     logging so dropped coverage is visible, never silent (SURVEY.md §7.5).
     """
     bucket_cols = ["band_id", "band_hash"]
-    # Repartition by the join key so the groupBy-count and the self-join
-    # reuse one shuffle instead of two.
+    # Repartition by the join key so the groupBy-count, the size join and the
+    # self-join all reuse one exchange instead of shuffling repeatedly.
     bands_df = bands_df.repartition(*[F.col(c) for c in bucket_cols])
     sizes = bands_df.groupBy(*bucket_cols).count()
     hot = sizes.filter(F.col("count") > max_bucket_size)
-    cold = bands_df.join(F.broadcast(hot.select(*bucket_cols)), bucket_cols, "left_anti")
+    # Join the (tiny) size table back instead of broadcasting an anti-join
+    # side: a broadcast forces a separate blocking job to materialize the
+    # hot list before the main join can even start — measured as a fixed
+    # multi-second serial floor per candidate path. The equi-join reuses the
+    # bucket partitioning (AQE may still choose broadcast *within* the job,
+    # which is fine — no driver barrier), keeps streaming aggregation, and
+    # never buffers a mega-bucket in memory the way a count-window would.
+    cold = (
+        bands_df.join(sizes.filter(F.col("count") <= max_bucket_size), bucket_cols)
+        .drop("count")
+    )
 
     left = cold.select(*bucket_cols, F.col(key_col).alias("key_l"))
     right = cold.select(*bucket_cols, F.col(key_col).alias("key_r"))

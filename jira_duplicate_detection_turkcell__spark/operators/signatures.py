@@ -1,17 +1,31 @@
-"""Fused signature computation: MinHash + SimHash in one Python round-trip.
+"""Fused signature computation: tokenize + shingle + MinHash + SimHash + LSH
+band hashes in ONE Python round-trip.
 
 Profiling on the 40k-page corpus showed the naive plan (two chained
 ArrowEvalPython nodes, each with its own JVM tokenization pass) spent more
 time shipping batches through two Python hops and re-splitting text than on
-the actual signature math. This module computes tokens → token hashes once
-(JVM), derives shingle hashes from them (JVM, fixed-arity tuple hashing), and
-runs ONE pandas UDF taking (shingles, token_hashes) and returning
-struct(minhash_sig, simhash) — the numpy kernels from operators/minhash.py
-and operators/simhash.py, fused.
+the actual signature math. A second round of profiling at 32 cores showed the
+JVM half of the "fused" plan — interpreted higher-order expressions
+(``transform``/``sequence``/``get``/``array_distinct``) building token and
+gram hashes — allocating so heavily that GC made the stage *slower* at 4×
+the cores. ``text_sign_compute`` therefore moves the whole chain into numpy:
+
+    text → whitespace tokens → token hashes (``pd.util.hash_array``, C-speed,
+    fixed key) → w-gram hashes (vectorized 64-bit mix over the flat token-hash
+    vector, row boundaries masked) → per-row distinct via lexsort →
+    k-perm MinHash (``np.minimum.reduceat``) → SimHash bit votes →
+    per-band hashes from signature slices
+
+One mapInPandas, one Arrow crossing of the text column, zero JVM array
+expressions, zero per-row Python in the hot loop. Gram *identity* (the
+token-tuple) is unchanged from functions/shingle.py, so shingle-set Jaccard —
+what verification and the brute-force oracle measure — is preserved under
+any 64-bit hash choice, modulo collisions.
 """
 
 from __future__ import annotations
 
+from itertools import chain
 from typing import Iterator
 
 import numpy as np
@@ -21,6 +35,19 @@ from pyspark.sql import functions as F
 
 from ..functions.shingle import token_hashes, tokens, word_shingles_from_hashes
 from .minhash import _MERSENNE_P, _permutations
+
+# xxhash64/murmur-style avalanche constants for the vectorized gram mixer
+_PRIME_1 = np.uint64(0x9E3779B185EBCA87)
+_PRIME_2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_PRIME_3 = np.uint64(0x165667B19E3779F9)
+
+
+def _fmix64(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint64(33))
+    h = h * _PRIME_2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _PRIME_3
+    return h ^ (h >> np.uint64(32))
 
 
 def _flatten(col: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -133,3 +160,177 @@ def add_signatures(
         .drop("_toks", "_th", "_sig")
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# All-Python signature path: text → shingles + minhash + simhash + band hashes
+# --------------------------------------------------------------------------
+
+def _simhash_from_flat(tflat, tlengths, bit_idx):
+    """64-bit SimHash per row from a flat tf-preserving token-hash vector."""
+    sim = np.zeros(len(tlengths), dtype=np.int64)
+    tnonempty = tlengths > 0
+    n_rows = int(tnonempty.sum())
+    if not tflat.size:
+        return sim
+    toffsets = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(tlengths[tnonempty][:-1], out=toffsets[1:])
+    sums = np.zeros((n_rows, 64), dtype=np.int32)
+    chunk = 65536  # tokens per step → ≤ 32 MB of transients
+    for s in range(0, tflat.size, chunk):
+        e = min(s + chunk, tflat.size)
+        votes = ((tflat[s:e, None] >> bit_idx) & np.uint64(1)).astype(np.int32) * 2 - 1
+        first = int(np.searchsorted(toffsets, s, side="right")) - 1
+        local = toffsets[(toffsets > s) & (toffsets < e)]
+        bounds = np.concatenate(([s], local)).astype(np.int64) - s
+        seg = np.add.reduceat(votes, bounds, axis=0)
+        sums[first : first + len(bounds)] += seg
+    bits = (sums > 0).astype(np.uint64)
+    packed = (bits << bit_idx).sum(axis=1, dtype=np.uint64)
+    sim[tnonempty] = packed.view(np.int64)
+    return sim
+
+
+def text_sign_compute(
+    shingle_w: int = 3,
+    num_perm: int = 128,
+    seed: int = 7,
+    with_simhash: bool = True,
+    bands: int = 32,
+    rows: int = 4,
+):
+    """mapInPandas kernel: (url, text, …) batches → (url, shingles,
+    minhash_sig, simhash, band_hashes). Pure numpy/pandas — unit-testable
+    without a JVM. Rows whose text is empty are dropped (mirrors the
+    ``length(text) > 0`` filter of the extract stage)."""
+    assert bands * rows == num_perm, "bands*rows must equal num_perm"
+    a_params, b_params = _permutations(num_perm, seed)
+    empty_sig = np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    wshift = np.uint64(shingle_w)
+
+    def compute(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            texts = pdf["text"].astype(object).fillna("")
+            keep = texts.str.len() > 0
+            pdf = pdf[keep]
+            texts = texts[keep]
+            n = len(pdf)
+            if n == 0:
+                continue
+            tok_lists = texts.str.split()
+            lengths = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+            flat_tokens = np.array(
+                list(chain.from_iterable(tok_lists)), dtype=object
+            )
+            th = (
+                pd.util.hash_array(flat_tokens, categorize=True)
+                .astype(np.uint64, copy=False)
+                if flat_tokens.size
+                else np.empty(0, dtype=np.uint64)
+            )
+
+            # ---- w-gram hashes along the flat vector, row-crossing masked
+            long_rows = lengths >= shingle_w
+            row_id = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            if th.size >= shingle_w:
+                L = th.size - shingle_w + 1
+                g = np.zeros(L, dtype=np.uint64)
+                for j in range(shingle_w):
+                    g = _fmix64((g * _PRIME_1) ^ th[j : j + L])
+                valid = row_id[:L] == row_id[shingle_w - 1 :]
+                g = g[valid]
+                g_row = row_id[:L][valid]
+            else:
+                g = np.empty(0, dtype=np.uint64)
+                g_row = np.empty(0, dtype=np.int64)
+
+            # ---- short rows (< w tokens): one gram = hash(" ".join(tokens))
+            short_idx = np.flatnonzero(~long_rows)
+            if short_idx.size:
+                joined = np.array(
+                    [" ".join(tok_lists.iat[i]) for i in short_idx], dtype=object
+                )
+                sh = pd.util.hash_array(joined, categorize=False).astype(
+                    np.uint64, copy=False
+                )
+                g = np.concatenate([g, sh])
+                g_row = np.concatenate([g_row, short_idx.astype(np.int64)])
+
+            # ---- per-row distinct (sorted) grams via one lexsort
+            order = np.lexsort((g, g_row))
+            g = g[order]
+            g_row = g_row[order]
+            if g.size:
+                first = np.ones(g.size, dtype=bool)
+                first[1:] = (g_row[1:] != g_row[:-1]) | (g[1:] != g[:-1])
+                g = g[first]
+                g_row = g_row[first]
+            d_lengths = np.bincount(g_row, minlength=n)
+            nonempty = d_lengths > 0
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(d_lengths[nonempty][:-1], out=offsets[1:])
+
+            # ---- MinHash over the distinct flat gram vector
+            sigs = np.empty((n, num_perm), dtype=np.int64)
+            sigs[~nonempty] = empty_sig
+            if g.size:
+                hv = np.empty(g.size, dtype=np.uint64)
+                out_rows = np.empty((num_perm, offsets.size), dtype=np.uint64)
+                for k in range(num_perm):
+                    np.multiply(a_params[k], g, out=hv)
+                    np.add(hv, b_params[k], out=hv)
+                    np.mod(hv, _MERSENNE_P, out=hv)
+                    out_rows[k] = np.minimum.reduceat(hv, offsets)
+                sigs[nonempty] = out_rows.T.astype(np.int64, copy=False)
+
+            # ---- SimHash over tf-preserving token hashes
+            if with_simhash:
+                sim = _simhash_from_flat(th, lengths, bit_idx)
+            else:
+                sim = np.zeros(n, dtype=np.int64)
+
+            # ---- LSH band hashes from signature slices
+            u = sigs.view(np.uint64).reshape(n, bands, rows)
+            bh = np.zeros((n, bands), dtype=np.uint64)
+            for j in range(rows):
+                bh = _fmix64((bh * _PRIME_1) ^ u[:, :, j])
+            bh = bh.view(np.int64)
+
+            # split points per row for the flat distinct gram vector
+            starts = np.zeros(n, dtype=np.int64)
+            starts[nonempty] = offsets
+            ends = starts + d_lengths
+            gi = g.view(np.int64)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy(),
+                    "shingles": [gi[s:e] for s, e in zip(starts, ends)],
+                    "minhash_sig": list(sigs),
+                    "simhash": sim,
+                    "band_hashes": list(bh),
+                }
+            )
+
+    return compute
+
+
+SIGN_SCHEMA = (
+    "url string, shingles array<long>, minhash_sig array<long>, "
+    "simhash long, band_hashes array<long>"
+)
+
+
+def sign_docs(
+    docs: DataFrame,
+    shingle_w: int = 3,
+    num_perm: int = 128,
+    seed: int = 7,
+    with_simhash: bool = True,
+    bands: int = 32,
+    rows: int = 4,
+) -> DataFrame:
+    """docs(url, text) → (url, shingles, minhash_sig, simhash, band_hashes)
+    in a single mapInPandas pass (no JVM array expressions, one Arrow hop)."""
+    kernel = text_sign_compute(shingle_w, num_perm, seed, with_simhash, bands, rows)
+    return docs.select("url", "text").mapInPandas(kernel, SIGN_SCHEMA)

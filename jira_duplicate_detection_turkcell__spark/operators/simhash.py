@@ -92,12 +92,16 @@ def simhash_candidate_pairs(
     max_bucket_size: int = 500,
 ) -> tuple[DataFrame, DataFrame]:
     """Chunk-equality self-join → candidate pairs; hot chunks capped like LSH
-    buckets (operators/minhash.py) with a broadcast anti-join + lineage out."""
+    buckets (operators/minhash.py) with a size equi-join + lineage out (see
+    minhash.candidate_pairs for why not a blocking broadcast anti-join)."""
     bucket_cols = ["chunk_id", "chunk_val"]
     chunks_df = chunks_df.repartition(*[F.col(c) for c in bucket_cols])
     sizes = chunks_df.groupBy(*bucket_cols).count()
     hot = sizes.filter(F.col("count") > max_bucket_size)
-    cold = chunks_df.join(F.broadcast(hot.select(*bucket_cols)), bucket_cols, "left_anti")
+    cold = (
+        chunks_df.join(sizes.filter(F.col("count") <= max_bucket_size), bucket_cols)
+        .drop("count")
+    )
     left = cold.select(*bucket_cols, F.col(key_col).alias("key_l"))
     right = cold.select(*bucket_cols, F.col(key_col).alias("key_r"))
     pairs = (

@@ -15,6 +15,9 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
+import sys
+import time
 from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,21 +80,24 @@ def signature_stage(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     shingling falls back to the per-operator composition.
     """
     if cfg.shingle_kind == "word":
-        out = signatures.add_signatures(
+        # single mapInPandas: tokenize/shingle/hash/sign/band entirely in
+        # numpy — no interpreted JVM array expressions (profiled GC storm at
+        # high core counts), and band hashes come out precomputed
+        return signatures.sign_docs(
             docs,
-            text_col="text",
             shingle_w=cfg.shingle_size,
             num_perm=cfg.num_perm,
             seed=cfg.minhash_seed,
             with_simhash=cfg.enable_simhash,
+            bands=cfg.bands,
+            rows=cfg.rows,
         )
-    else:
-        out = docs.withColumn("shingles", shingle_expr(cfg))
-        out = minhash.add_signature(
-            out, "shingles", "minhash_sig", cfg.num_perm, cfg.minhash_seed
-        )
-        if cfg.enable_simhash:
-            out = simhash.add_simhash(out, "text", "simhash")
+    out = docs.withColumn("shingles", shingle_expr(cfg))
+    out = minhash.add_signature(
+        out, "shingles", "minhash_sig", cfg.num_perm, cfg.minhash_seed
+    )
+    if cfg.enable_simhash:
+        out = simhash.add_simhash(out, "text", "simhash")
     # the signature table is the widest thing the pipeline materializes;
     # dropping text (available from the docs stage) halves its on-wire size
     return out.drop("text")
@@ -100,9 +106,15 @@ def signature_stage(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
 def minhash_edges(signed: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
     # the band table feeds three consumers inside candidate_pairs (bucket
     # sizing, both join sides) — materialize it once instead of re-exploding
-    bands_df = minhash.explode_bands(
-        signed, "minhash_sig", "url", cfg.bands, cfg.rows
-    ).persist()
+    if "band_hashes" in signed.columns:
+        # band hashes were precomputed inside the signature kernel
+        bands_df = signed.select(
+            "url", F.posexplode("band_hashes").alias("band_id", "band_hash")
+        ).persist()
+    else:
+        bands_df = minhash.explode_bands(
+            signed, "minhash_sig", "url", cfg.bands, cfg.rows
+        ).persist()
     pairs, hot = minhash.candidate_pairs(bands_df, "url", cfg.minhash_bucket_cap)
     edges = verify.jaccard_edges(
         pairs,
@@ -144,6 +156,15 @@ def run_dedup(
     if store is not None:
         store.config_fingerprint = cfg.fingerprint()
 
+    verbose = bool(os.environ.get("SPARK_GRAFT_TIMING"))
+
+    def clocked(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        if verbose:
+            print(f"[pipeline] {name}: {time.time() - t0:.2f}s", file=sys.stderr, flush=True)
+        return out
+
     def stage(name: str, build, metrics: dict | None = None) -> DataFrame:
         if store is None:
             # materialize each stage boundary so downstream consumers (several
@@ -152,7 +173,7 @@ def run_dedup(
             # keeps the columnar cache format — profiling showed localCheckpoint
             # row-serialization dominated the whole pipeline on wide stages.
             df = build().persist()
-            df.count()
+            clocked(name, df.count)
             return df
         if store.is_committed(name):
             return store.load(spark, name)
@@ -212,5 +233,8 @@ def run_dedup(
         )
     edges = stage("edges", lambda: edges_plan.distinct())
 
-    clusters = connected_components(edges, signed.select("url"), "url")
+    clusters = clocked(
+        "connected_components",
+        lambda: connected_components(edges, signed.select("url"), "url"),
+    )
     return {"docs": docs, "signatures": signed, "edges": edges, "clusters": clusters}

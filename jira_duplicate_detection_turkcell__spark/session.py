@@ -35,6 +35,42 @@ _BASE_CONF: dict[str, str] = {
     # is a bug we want surfaced, not wrapped.
     "spark.sql.ansi.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Throughput GC. Profiled on the sandbox (virtualized, lazy host paging):
+    # a first-touch page fault costs ~4µs, so every fresh page the JVM heap
+    # or an mmap'd malloc block touches burns kernel time — the pipeline
+    # measured 80-90% *system* CPU and got slower from 8→32 cores. ParallelGC
+    # trades pause latency (irrelevant for batch) for allocation throughput
+    # on the interpreted array expressions (transform / sequence /
+    # array_distinct) these plans lean on, and -Xms pre-commits the young gen
+    # so heap growth doesn't re-fault under concurrent task threads.
+    # (THP was tested and made it *worse*: defrag=madvise means every
+    # madvise'd fault may do synchronous compaction.)
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+    "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
+    # fork workers from a daemon that has already imported numpy/pandas/
+    # pyarrow + the engine kernels (copy-on-write warm image) — removes the
+    # per-worker import storm from the first job's critical path
+    "spark.python.daemon.module": "jira_duplicate_detection_turkcell__spark.warm_daemon",
+}
+
+# glibc malloc tuning for the Python UDF workers (forked from the JVM, so
+# they inherit the driver process env in local mode; spark.executorEnv.*
+# covers cluster executors). Without this, numpy/Arrow batch temporaries a
+# few MB and up are mmap'd and munmap'd once per batch; under lazy host
+# paging each round-trip re-faults every page (~4µs each) and the workers
+# spend ~10× more time in the kernel than in user code (measured: 300 × 32 MB
+# alloc+touch = 9.1 s churning vs 0.15 s with these settings). Keeping freed
+# blocks on the arena (no trim, no mmap for ordinary sizes) makes worker
+# memory steady-state after the first batches.
+_MALLOC_ENV: dict[str, str] = {
+    "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+    "MALLOC_TRIM_THRESHOLD_": "-1",
+    # CPython's pymalloc maps/unmaps 256 KiB object arenas constantly under
+    # string churn (tokenize/regex produce millions of short-lived strings);
+    # routing object allocation through the tuned glibc malloc keeps those
+    # pages resident too. Measured: signature stage 28.6→12.5 s cold and
+    # 8.3→6.0 s warm at 8 cores on the 20k-page corpus.
+    "PYTHONMALLOC": "malloc",
 }
 
 
@@ -63,6 +99,19 @@ def get_spark(
         # this to ~2-3x total executor cores via --conf.
         shuffle_partitions = max(default_parallelism, 8)
 
+    # must land in os.environ *before* the JVM launches: local-mode Python
+    # workers are forked by the JVM and inherit this process's environment
+    os.environ.update(_MALLOC_ENV)
+
+    # make the repo importable inside the worker daemon so the pre-warmed
+    # daemon module (warm_daemon.py) resolves; harmless if already present
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pythonpath = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pythonpath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{pythonpath}" if pythonpath else repo_root
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -70,6 +119,8 @@ def get_spark(
         .config("spark.default.parallelism", str(default_parallelism))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
+    for k, v in _MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in _BASE_CONF.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
