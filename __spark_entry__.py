@@ -382,7 +382,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.countDistinct("user_id").alias("n_users")
         )
 
+    # ---- winnowing fingerprints + IVF ANN (no SQL oracle: engine-defined
+    # rolling-hash chain / sampled k-means are not DuckDB-reproducible;
+    # driver records the rows-only check, recall is pinned by pytest) ------
+
+    def q_winnow_fingerprint_pairs(spark, sf_dir):
+        from jira_duplicate_detection_turkcell__spark.operators import winnow
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        fps = winnow.winnow_fingerprints(docs, "text", "doc_id", k=8, window=4)
+        return winnow.winnow_candidate_pairs(fps, "doc_id", min_shared=2)
+
+    def q_ivf_knn(spark, sf_dir):
+        from jira_duplicate_detection_turkcell__spark.operators import ivf
+
+        emb = _t(spark, sf_dir, "embeddings")
+        qs = emb.filter(F.col("vec_id") < KNN_QUERIES)
+        return ivf.ivf_topk(emb, qs, k=KNN_K, nlist=16, nprobe=8).select(
+            "query_id", "neighbor_id"
+        )
+
     return {
+        "winnow_fingerprint_pairs": q_winnow_fingerprint_pairs,
+        "ivf_knn": q_ivf_knn,
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,

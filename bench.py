@@ -68,7 +68,12 @@ def run_pages_pipeline(spark, n_docs: int) -> tuple[float, int]:
         synth.generate_pages_df(
             spark, n_docs, seed=42, partitions=PAGES_PARTITIONS
         ).write.parquet(path)
-        pages = spark.read.parquet(path)
+        # re-spread the scan: parquet file bin-packing would coalesce the 64
+        # small files into ~8 input splits, making the (expensive) extract+
+        # signature stage a single straggler-bound wave at 8+ cores. The
+        # repartition shuffles only raw pages (cheap) and is identical at
+        # every parallelism level.
+        pages = spark.read.parquet(path).repartition(PAGES_PARTITIONS)
         t0 = time.time()
         result = P.run_dedup(spark, pages, cfg)
         n_clusters = result["clusters"].select("cluster_id").distinct().count()

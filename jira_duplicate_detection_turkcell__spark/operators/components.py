@@ -31,11 +31,14 @@ def connected_components(
     nodes: DataFrame,
     key_col: str = "url",
     max_iter: int = 25,
+    nodes_unique: bool = False,
 ) -> DataFrame:
     """edges(key_l, key_r) + nodes(key) → (key, cluster_id) for every node.
 
     ``cluster_id`` is the lexicographic-min member key of the component;
-    singletons get their own key.
+    singletons get their own key. Pass ``nodes_unique=True`` when the caller
+    guarantees one row per key (e.g. the signature table) to skip a
+    defensive distinct shuffle.
     """
     sym = (
         edges.select(F.col("key_l").alias("src"), F.col("key_r").alias("dst"))
@@ -86,9 +89,11 @@ def connected_components(
     assigned = labels.select(
         F.col("node").alias(key_col), F.col("label").alias("cluster_id")
     )
+    base = nodes.select(key_col)
+    if not nodes_unique:
+        base = base.distinct()
     return (
-        nodes.select(key_col)
-        .distinct()
+        base
         .join(assigned, key_col, "left")
         .select(
             key_col,

@@ -67,11 +67,20 @@ def jaccard_edges(
     ≈ 0.04% while cutting exact-verify volume by orders of magnitude on
     boilerplate-heavy corpora (the measured hot spot at 10^5+ docs).
     """
-    cols = [shingles_col] + ([sig_col] if sig_col else [])
-    joined = attach_pair_columns(pairs, docs_with_shingles, cols, key_col)
     if sig_col:
+        # two-stage attach: screen on the (compact) signature columns first,
+        # then join the (fat) shingle sets only for surviving pairs — the
+        # shingle arrays are ~3× the signature size, and candidates typically
+        # outnumber survivors by orders of magnitude, so this cuts the
+        # dominant shuffle volume of the verification stage
+        screened = attach_pair_columns(pairs, docs_with_shingles, [sig_col], key_col)
         est = signature_agreement(F.col(f"{sig_col}_l"), F.col(f"{sig_col}_r"))
-        joined = joined.filter(est >= threshold - prefilter_margin)
+        survivors = screened.filter(est >= threshold - prefilter_margin).select(
+            "key_l", "key_r"
+        )
+        joined = attach_pair_columns(survivors, docs_with_shingles, [shingles_col], key_col)
+    else:
+        joined = attach_pair_columns(pairs, docs_with_shingles, [shingles_col], key_col)
     inter = F.size(F.array_intersect(F.col(f"{shingles_col}_l"), F.col(f"{shingles_col}_r")))
     union = (
         F.size(F.col(f"{shingles_col}_l")) + F.size(F.col(f"{shingles_col}_r")) - inter

@@ -231,10 +231,15 @@ def run_dedup(
         edges_plan = edges_plan.union(
             substring_edges(docs, cfg).select("key_l", "key_r")
         )
-    edges = stage("edges", lambda: edges_plan.distinct())
+    # no .distinct() here: connected_components symmetrizes with its own
+    # union+distinct, so deduping the edge list first would just add a full
+    # extra shuffle of the same data
+    edges = stage("edges", lambda: edges_plan)
 
     clusters = clocked(
         "connected_components",
-        lambda: connected_components(edges, signed.select("url"), "url"),
+        lambda: connected_components(
+            edges, signed.select("url"), "url", nodes_unique=True
+        ),
     )
     return {"docs": docs, "signatures": signed, "edges": edges, "clusters": clusters}

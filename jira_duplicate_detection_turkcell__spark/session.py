@@ -95,9 +95,12 @@ def get_spark(
         default_parallelism = cores
 
     if shuffle_partitions is None:
-        # one shuffle partition per core in local mode; a cluster run sets
-        # this to ~2-3x total executor cores via --conf.
-        shuffle_partitions = max(default_parallelism, 8)
+        # ~4 waves per core: a single wave (partitions == cores) makes every
+        # stage straggler-bound — wall time is the *max* task, so one slow
+        # task wastes cores — while 4× gives even packing; AQE coalesces
+        # the excess away when the data is small. A cluster run raises this
+        # to O(total cores × 3-4) via --conf the same way.
+        shuffle_partitions = max(default_parallelism * 4, 16)
 
     # must land in os.environ *before* the JVM launches: local-mode Python
     # workers are forked by the JVM and inherit this process's environment
