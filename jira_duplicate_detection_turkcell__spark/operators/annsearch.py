@@ -74,14 +74,38 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold (baseline; O(n²) — small n only)."""
-    left = embeddings.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("v_l"))
-    right = embeddings.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("v_r"))
-    return (
-        left.join(right, F.col("id_l") < F.col("id_r"))
-        .withColumn("cos", cosine_expr(F.col("v_l"), F.col("v_r")))
-        .where(F.col("cos") >= threshold)
-        .select("id_l", "id_r")
+    """Exact all-pairs cosine ≥ threshold (brute-force baseline).
+
+    Distributed block matmul: the full normalized matrix (N × d — at the
+    baseline's intended scale a few tens of MB) rides to every worker inside
+    the kernel closure; each partition multiplies its row block against it
+    with one BLAS call and emits thresholded (id_l < id_r) pairs. Identical
+    output to the naive theta-join, ~10-50× faster than evaluating the
+    dot product with per-pair interpreted array expressions. The scale
+    paths are hyperplane_lsh_pairs / operators/ivf.py — this is the
+    ground-truth generator.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    rows = embeddings.select(id_col, vec_col).collect()
+    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+
+    def compute(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+            sims = x @ mat.T
+            hit = (sims >= threshold) & (ids[:, None] < all_ids[None, :])
+            li, ri = np.nonzero(hit)
+            yield pd.DataFrame({"id_l": ids[li], "id_r": all_ids[ri]})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        compute, "id_l long, id_r long"
     )
 
 
