@@ -96,6 +96,7 @@ def main():
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    headline_cores = spark.sparkContext.defaultParallelism
 
     timings: dict[str, float] = {}
 
@@ -107,6 +108,22 @@ def main():
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+
+        # The sustained pages pipeline is right-sized to what this host can
+        # actually back: with >8 vCPUs busy the hypervisor steals ~4 CPUs
+        # continuously and lock-holder preemption amplifies CPU time 4.4×
+        # (measured — see BENCH/BASELINE.md), making local[32] *slower* than
+        # local[8] on identical input. The short sf-dir queries above are
+        # fine at full width. Overridable via SPARK_GRAFT_PAGES_CORES.
+        pages_cores = int(os.environ.get("SPARK_GRAFT_PAGES_CORES", "8"))
+        if spark.sparkContext.defaultParallelism > pages_cores:
+            from jira_duplicate_detection_turkcell__spark.session import (
+                get_spark as _gs,
+            )
+
+            spark.stop()
+            spark = _gs("bench-pages", cores=pages_cores)
+            spark.sparkContext.setLogLevel("ERROR")
 
     secs, n_clusters = run_pages_pipeline(spark, args.pages_n)
     timings["pages_dedup_pipeline"] = round(secs, 3)
@@ -123,7 +140,8 @@ def main():
                 "pages_n": args.pages_n,
                 "pages_docs_per_sec": round(args.pages_n / secs, 1),
                 "pages_n_clusters": n_clusters,
-                "cores": spark.sparkContext.defaultParallelism,
+                "cores": headline_cores,
+                "pages_cores": spark.sparkContext.defaultParallelism,
             }
         )
     )
