@@ -570,11 +570,13 @@ SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
 FROM documents
 """
 
+    # CASTs: DuckDB sum() yields HUGEINT (int128) while Spark yields bigint —
+    # identical values, different value-hash without the cast (round-1 lesson)
     sql["masking_stats"] = r"""
 SELECT count(*) AS n_docs,
-  sum(CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END) AS n_with_digits,
-  sum(CASE WHEN regexp_matches(text, '\bspark\b') THEN 1 ELSE 0 END) AS n_with_spark,
-  sum(CASE WHEN len(text) > 300 THEN 1 ELSE 0 END) AS n_long
+  CAST(sum(CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_digits,
+  CAST(sum(CASE WHEN regexp_matches(text, '\bspark\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_spark,
+  CAST(sum(CASE WHEN len(text) > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
 FROM documents
 """
 

@@ -33,16 +33,18 @@ def train_centroids(
     iters: int = 10,
     seed: int = 11,
     sample_cap: int = 50_000,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic Lloyd k-means on a driver-side sample → (nlist, dim).
 
-    The sample is capped (ORDER BY a stable key, not random, so training is
-    reproducible across runs and partitionings); at 10^12-doc scale this is
-    the standard IVF recipe — the quantizer sees a few 10^4 vectors, never
-    the corpus.
+    The sample is capped and ORDER BY the stable id key (not a bare limit,
+    which is partition-layout-dependent), so training is reproducible across
+    runs and repartitionings; at 10^12-doc scale this is the standard IVF
+    recipe — the quantizer sees a few 10^4 vectors, never the corpus.
     """
     rows = (
-        df.select(vec_col)
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
         .limit(sample_cap)
         .toPandas()[vec_col]
     )
@@ -100,7 +102,7 @@ def ivf_topk(
     probe ``nprobe`` cells. Self-matches are excluded.
     """
     if centroids is None:
-        centroids = train_centroids(corpus, vec_col, nlist)
+        centroids = train_centroids(corpus, vec_col, nlist, id_col=id_col)
     assign1 = _assign_udf(centroids, 1)
     assignp = _assign_udf(centroids, nprobe)
 

@@ -106,14 +106,16 @@ def winnow_kernel(k: int = 8, window: int = 4):
                         fps[i] = iv[offs[i] : offs[i] + counts[i]]
 
             # rows too short for a full window: fingerprint = hash of the
-            # whole text (so short docs still participate)
+            # whole text (fold *all* bytes, 8 at a time, through the mixer —
+            # a prefix-only hash would alias short docs that differ late)
             for i in range(n):
                 if fps[i] is None or len(fps[i]) == 0:
-                    h = _fmix64(
-                        np.frombuffer(
-                            texts.iat[i].encode("utf-8").ljust(8, b"\0")[:8], "<u8"
-                        ).copy()
-                    )
+                    raw = texts.iat[i].encode("utf-8")
+                    raw = raw.ljust(-(-max(len(raw), 1) // 8) * 8, b"\0")
+                    words = np.frombuffer(raw, dtype="<u8")
+                    h = np.full(1, np.uint64(len(raw)), dtype=np.uint64)
+                    for w in words:  # short docs only: a handful of words
+                        h = _fmix64((h * _B) ^ w)
                     fps[i] = h.view(np.int64)
 
             yield pd.DataFrame({"id": pdf.iloc[:, 0].to_numpy(), "fingerprints": fps})

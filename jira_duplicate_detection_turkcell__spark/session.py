@@ -103,8 +103,11 @@ def get_spark(
         shuffle_partitions = max(default_parallelism * 4, 16)
 
     # must land in os.environ *before* the JVM launches: local-mode Python
-    # workers are forked by the JVM and inherit this process's environment
-    os.environ.update(_MALLOC_ENV)
+    # workers are forked by the JVM and inherit this process's environment.
+    # Side effect (documented): these keys persist in the calling process for
+    # the JVM's lifetime; keys the caller already set are left untouched.
+    for k, v in _MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
 
     # make the repo importable inside the worker daemon so the pre-warmed
     # daemon module (warm_daemon.py) resolves; harmless if already present

@@ -73,3 +73,24 @@ def test_ivf_centroids_deterministic(emb):
     c2 = ivf.train_centroids(emb, "embedding", nlist=8, seed=11)
     assert np.allclose(c1, c2)
     assert c1.shape[0] == 8
+
+
+def test_ivf_centroids_partition_invariant(emb):
+    # the training sample is ORDER BY id, so repartitioning the input must
+    # not change the quantizer (a bare limit() would)
+    c1 = ivf.train_centroids(emb.repartition(2), "embedding", nlist=8, seed=11)
+    c2 = ivf.train_centroids(emb.repartition(16), "embedding", nlist=8, seed=11)
+    assert np.array_equal(c1, c2)
+
+
+def test_winnow_short_docs_differing_after_byte8_not_aliased(spark):
+    # short docs (no full winnowing window) hash the WHOLE text — two docs
+    # identical in the first 8 bytes but differing later must not collide
+    df = spark.createDataFrame(
+        [(1, "abcdefgh-XX"), (2, "abcdefgh-YY"), (3, "abcdefgh-XX")],
+        "doc_id long, text string",
+    )
+    fps = winnow.winnow_fingerprints(df, "text", "doc_id", k=64, window=64)
+    vals = {r["doc_id"]: set(r["fingerprints"]) for r in fps.collect()}
+    assert vals[1] != vals[2]
+    assert vals[1] == vals[3]
