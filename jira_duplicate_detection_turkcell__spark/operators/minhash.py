@@ -114,35 +114,15 @@ def candidate_pairs(
     """LSH bucket self-join → distinct candidate pairs (key_l < key_r).
 
     Returns ``(pairs, hot_buckets)``. Buckets larger than
-    ``max_bucket_size`` (boilerplate mega-buckets: each would contribute
-    O(m²) pairs) are excluded from pairing via a *broadcast* left-anti join —
-    the hot-bucket list is tiny by construction — and returned for lineage
-    logging so dropped coverage is visible, never silent (SURVEY.md §7.5).
+    ``max_bucket_size`` are *salted* (operators/buckets.py): members split
+    into ceil(m/cap) hash groups and paired cell-by-cell, so a boilerplate
+    mega-bucket's O(m²) pair work spreads over many bounded shuffle cells
+    instead of one task — full recall, no drops. ``hot_buckets`` is the
+    lineage table of buckets that ran salted.
     """
-    bucket_cols = ["band_id", "band_hash"]
-    # Repartition by the join key so the groupBy-count, the size join and the
-    # self-join all reuse one exchange instead of shuffling repeatedly.
-    bands_df = bands_df.repartition(*[F.col(c) for c in bucket_cols])
-    sizes = bands_df.groupBy(*bucket_cols).count()
-    hot = sizes.filter(F.col("count") > max_bucket_size)
-    # Join the (tiny) size table back instead of broadcasting an anti-join
-    # side: a broadcast forces a separate blocking job to materialize the
-    # hot list before the main join can even start — measured as a fixed
-    # multi-second serial floor per candidate path. The equi-join reuses the
-    # bucket partitioning (AQE may still choose broadcast *within* the job,
-    # which is fine — no driver barrier), keeps streaming aggregation, and
-    # never buffers a mega-bucket in memory the way a count-window would.
-    cold = (
-        bands_df.join(sizes.filter(F.col("count") <= max_bucket_size), bucket_cols)
-        .drop("count")
-    )
+    from .buckets import salted_bucket_pairs
 
-    left = cold.select(*bucket_cols, F.col(key_col).alias("key_l"))
-    right = cold.select(*bucket_cols, F.col(key_col).alias("key_r"))
-    pairs = (
-        left.join(right, bucket_cols)
-        .where(F.col("key_l") < F.col("key_r"))
-        .select("key_l", "key_r")
-        .distinct()
+    pairs, hot = salted_bucket_pairs(
+        bands_df, ["band_id", "band_hash"], key_col, max_bucket_size
     )
-    return pairs, hot
+    return pairs.distinct(), hot

@@ -2,15 +2,26 @@
 
 Second retrieval path (the reference's analog is its second,
 platform-partitioned FAISS index, hybrid_search.py:150-156). Token hashing is
-JVM-side; the bit-vote aggregation is one numpy pandas UDF; bucketing uses the
-pigeonhole principle: for Hamming distance ≤ 3 over 64 bits split into 4
-16-bit chunks, at least one chunk must match exactly, so an equi-join on
-(chunk_id, chunk_value) has perfect recall for d ≤ 3. Verification is exact
-``bit_count(l XOR r)`` (operators/verify.py).
+JVM-side; the bit-vote aggregation is one numpy pandas UDF; bucketing uses
+the pigeonhole principle over **chunk pairs**: the 64 bits are split into 5
+chunks (13+13+13+13+12 bits); d ≤ 3 bit errors can touch at most 3 chunks,
+leaving ≥ 2 chunks clean, so every pair at Hamming distance ≤ 3 shares at
+least one of the C(5,2) = 10 *chunk-pair* keys — an equi-join on
+(pair_id, concat of the two chunk values) has perfect recall for d ≤ 3.
+Verification is exact ``bit_count(l XOR r)`` (operators/verify.py).
+
+Why pairs, not single chunks: round 1 used 4 single 16-bit chunks, whose
+2^16 key space saturates — at ≥10^7 docs *every* bucket exceeds any cap
+(silent recall collapse under capping; mega-buckets under salting). A
+chunk-pair key carries 25-26 bits ⇒ 2^25+ distinct values per pair_id, so
+expected bucket size stays O(N/2^25) and only true near-duplicate masses
+form hot buckets (which the salted join then spreads). Cost: 10 bucket rows
+per doc instead of 4.
 """
 
 from __future__ import annotations
 
+from itertools import combinations
 from typing import Iterator
 
 import numpy as np
@@ -20,8 +31,11 @@ from pyspark.sql import functions as F
 
 from ..functions.shingle import XXHASH_SEED
 
-N_CHUNKS = 4
-CHUNK_BITS = 64 // N_CHUNKS
+# 5 chunks ⇒ any d≤3 pair has ≥2 clean chunks ⇒ shares a chunk-pair key
+_CHUNK_BITS = (13, 13, 13, 13, 12)
+_CHUNK_OFFSETS = tuple(sum(_CHUNK_BITS[:i]) for i in range(len(_CHUNK_BITS)))
+CHUNK_PAIRS = tuple(combinations(range(len(_CHUNK_BITS)), 2))
+N_CHUNKS = len(_CHUNK_BITS)
 
 
 def token_hashes(text: Column) -> Column:
@@ -69,20 +83,36 @@ def add_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash")
     return df.withColumn(out_col, udf(token_hashes(F.col(text_col))))
 
 
+def _chunk_expr(simhash_col: str, j: int) -> Column:
+    return F.shiftrightunsigned(F.col(simhash_col), _CHUNK_OFFSETS[j]).bitwiseAND(
+        F.lit((1 << _CHUNK_BITS[j]) - 1)
+    )
+
+
+def chunk_pair_keys(simhash_col: str = "simhash") -> Column:
+    """array<long> of the 10 chunk-pair keys (chunk_i ≪ bits_j | chunk_j)."""
+    return F.array(
+        *[
+            F.shiftleft(_chunk_expr(simhash_col, i), _CHUNK_BITS[j]).bitwiseOR(
+                _chunk_expr(simhash_col, j)
+            )
+            for i, j in CHUNK_PAIRS
+        ]
+    )
+
+
 def explode_chunks(
     df: DataFrame, simhash_col: str = "simhash", key_col: str = "url"
 ) -> DataFrame:
-    """(key, chunk_id, chunk_val): 4 × 16-bit slices of the simhash, JVM-side."""
-    chunks = F.array(
-        *[
-            F.shiftrightunsigned(F.col(simhash_col), j * CHUNK_BITS).bitwiseAND(
-                F.lit((1 << CHUNK_BITS) - 1)
-            )
-            for j in range(N_CHUNKS)
-        ]
-    )
+    """(key, chunk_id, chunk_val): the 10 chunk-pair keys per doc, JVM-side.
+
+    ``chunk_id`` indexes CHUNK_PAIRS; ``chunk_val`` packs the two chunk
+    values (25-26 bits). Any two simhashes at Hamming distance ≤ 3 share at
+    least one (chunk_id, chunk_val) row.
+    """
     return df.select(
-        F.col(key_col), F.posexplode(chunks).alias("chunk_id", "chunk_val")
+        F.col(key_col),
+        F.posexplode(chunk_pair_keys(simhash_col)).alias("chunk_id", "chunk_val"),
     )
 
 
@@ -91,23 +121,12 @@ def simhash_candidate_pairs(
     key_col: str = "url",
     max_bucket_size: int = 500,
 ) -> tuple[DataFrame, DataFrame]:
-    """Chunk-equality self-join → candidate pairs; hot chunks capped like LSH
-    buckets (operators/minhash.py) with a size equi-join + lineage out (see
-    minhash.candidate_pairs for why not a blocking broadcast anti-join)."""
-    bucket_cols = ["chunk_id", "chunk_val"]
-    chunks_df = chunks_df.repartition(*[F.col(c) for c in bucket_cols])
-    sizes = chunks_df.groupBy(*bucket_cols).count()
-    hot = sizes.filter(F.col("count") > max_bucket_size)
-    cold = (
-        chunks_df.join(sizes.filter(F.col("count") <= max_bucket_size), bucket_cols)
-        .drop("count")
+    """Chunk-pair-key self-join → candidate pairs; hot buckets are salted
+    (operators/buckets.py), never dropped — full d ≤ 3 recall at any corpus
+    size, bounded per-task work."""
+    from .buckets import salted_bucket_pairs
+
+    pairs, hot = salted_bucket_pairs(
+        chunks_df, ["chunk_id", "chunk_val"], key_col, max_bucket_size
     )
-    left = cold.select(*bucket_cols, F.col(key_col).alias("key_l"))
-    right = cold.select(*bucket_cols, F.col(key_col).alias("key_r"))
-    pairs = (
-        left.join(right, bucket_cols)
-        .where(F.col("key_l") < F.col("key_r"))
-        .select("key_l", "key_r")
-        .distinct()
-    )
-    return pairs, hot
+    return pairs.distinct(), hot

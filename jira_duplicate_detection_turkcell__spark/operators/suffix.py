@@ -47,24 +47,19 @@ def fingerprint_candidate_pairs(
     sample: int = 1,
     max_bucket_size: int = 200,
 ) -> tuple[DataFrame, DataFrame]:
-    """Docs sharing ≥1 fingerprint → candidate pairs + hot-fingerprint lineage."""
+    """Docs sharing ≥1 fingerprint → candidate pairs + salted-fp lineage.
+
+    Hot fingerprints (boilerplate shared by >cap docs) are salted, not
+    dropped (operators/buckets.py) — full recall, bounded per-task work.
+    """
+    from .buckets import salted_bucket_pairs
+
     fps = docs.select(
         F.col(key_col),
         F.explode(fingerprints(F.col(text_col), length, sample)).alias("fp"),
     ).distinct()
-    fps = fps.repartition(F.col("fp"))
-    sizes = fps.groupBy("fp").count()
-    hot = sizes.filter(F.col("count") > max_bucket_size)
-    cold = fps.join(F.broadcast(hot.select("fp")), ["fp"], "left_anti")
-    left = cold.select("fp", F.col(key_col).alias("key_l"))
-    right = cold.select("fp", F.col(key_col).alias("key_r"))
-    pairs = (
-        left.join(right, "fp")
-        .where(F.col("key_l") < F.col("key_r"))
-        .select("key_l", "key_r")
-        .distinct()
-    )
-    return pairs, hot
+    pairs, hot = salted_bucket_pairs(fps, ["fp"], key_col, max_bucket_size)
+    return pairs.distinct(), hot
 
 
 # --------------------------------------------------------------------------

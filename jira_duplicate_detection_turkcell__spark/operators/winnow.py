@@ -147,18 +147,17 @@ def winnow_candidate_pairs(
     """Pairs of docs sharing ≥ min_shared fingerprints (key_l < key_r).
 
     Same shape as the LSH bucket join: explode → equi-join on fingerprint →
-    count per pair; hot fingerprints (ubiquitous boilerplate) are capped.
+    count per pair; hot fingerprints (ubiquitous boilerplate) are salted
+    (operators/buckets.py) so per-task work stays bounded without dropping
+    any shared-fingerprint evidence. Each pair is emitted exactly once per
+    shared fingerprint, so the groupBy count is the exact shared-fp count.
     """
+    from .buckets import salted_bucket_pairs
+
     ex = fps.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
-    ex = ex.repartition(F.col("fp"))
-    sizes = ex.groupBy("fp").count()
-    cold = ex.join(sizes.filter(F.col("count") <= max_bucket_size), "fp").drop("count")
-    left = cold.select(F.col("fp"), F.col(id_col).alias("key_l"))
-    right = cold.select(F.col("fp"), F.col(id_col).alias("key_r"))
+    pairs, _hot = salted_bucket_pairs(ex, ["fp"], id_col, max_bucket_size)
     return (
-        left.join(right, "fp")
-        .where(F.col("key_l") < F.col("key_r"))
-        .groupBy("key_l", "key_r")
+        pairs.groupBy("key_l", "key_r")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
     )

@@ -138,13 +138,37 @@ def test_pipeline_end_to_end_recall(spark, pages, texts):
             assert len(cids) == 1, f"exact group {gid} split: {cids}"
 
 
-def test_hot_bucket_cap_drops_boilerplate_pairs(spark, signed):
-    # with a tiny cap, mega-buckets are excluded and reported, not exploded
+def test_hot_buckets_are_salted_not_dropped(spark, signed, texts):
+    # with a tiny cap many buckets run salted — results must be IDENTICAL to
+    # the uncapped run (salting redistributes work, never drops pairs)
     bands = P.minhash.explode_bands(signed, "minhash_sig", "url", CFG.bands, CFG.rows)
-    pairs, hot = P.minhash.candidate_pairs(bands, "url", max_bucket_size=2)
-    assert hot.count() > 0
-    # pairing still works and returns a bounded set
-    assert pairs.count() >= 0
+    pairs_salted, hot = P.minhash.candidate_pairs(bands, "url", max_bucket_size=2)
+    pairs_plain, hot0 = P.minhash.candidate_pairs(bands, "url", max_bucket_size=10_000)
+    assert hot.count() > 0 and hot0.count() == 0
+    got_salted = {(r["key_l"], r["key_r"]) for r in pairs_salted.collect()}
+    got_plain = {(r["key_l"], r["key_r"]) for r in pairs_plain.collect()}
+    assert got_salted == got_plain
+
+
+def test_mega_bucket_true_pairs_recovered_with_bounded_tasks(spark):
+    # plant a mega-bucket: 2000 docs all sharing one band value; with cap 100
+    # the bucket salts into 20 groups, and every true pair must come out
+    from jira_duplicate_detection_turkcell__spark.operators.buckets import (
+        salted_bucket_pairs,
+    )
+
+    n = 2000
+    rows = [(0, 777, f"doc{i:05d}") for i in range(n)]
+    bands = spark.createDataFrame(rows, "band_id int, band_hash long, url string")
+    pairs, hot = salted_bucket_pairs(
+        bands, ["band_id", "band_hash"], "url", cap=100
+    )
+    assert hot.collect()[0]["count"] == n
+    assert pairs.count() == n * (n - 1) // 2  # every unordered pair, exactly once
+    probe = pairs.filter(
+        (F.col("key_l") == "doc00000") & (F.col("key_r") == "doc01999")
+    )
+    assert probe.count() == 1
 
 
 def test_generation_invariant_to_partitioning(spark):
