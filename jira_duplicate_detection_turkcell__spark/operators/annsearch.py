@@ -73,40 +73,54 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 2_000_000,
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold (brute-force baseline).
+    """Exact all-pairs cosine ≥ threshold — the *test-scale ground-truth
+    generator* (the scale paths are hyperplane_lsh_pairs / operators/ivf.py).
 
-    Distributed block matmul: the full normalized matrix (N × d — at the
-    baseline's intended scale a few tens of MB) rides to every worker inside
-    the kernel closure; each partition multiplies its row block against it
-    with one BLAS call and emits thresholded (id_l < id_r) pairs. Identical
-    output to the naive theta-join, ~10-50× faster than evaluating the
-    dot product with per-pair interpreted array expressions. The scale
-    paths are hyperplane_lsh_pairs / operators/ivf.py — this is the
-    ground-truth generator.
+    Distributed block matmul: the full normalized matrix (N × d) is shipped
+    once per executor via ``sparkContext.broadcast`` (torrent blocks — NOT
+    closure-captured per task); each partition multiplies its row block
+    against it with one BLAS call and emits thresholded (id_l < id_r)
+    pairs. Identical output to the naive theta-join, ~10-50× faster than
+    per-pair interpreted array expressions. A row-count guard refuses
+    inputs beyond ``max_rows`` — at that point the broadcast matrix is the
+    driver/executor memory bound and the ANN paths are the right tool.
+    Ids keep their input type (no int64 cast); empty input yields an empty
+    result with the right schema.
     """
     from typing import Iterator
 
     import pandas as pd
 
-    rows = embeddings.select(id_col, vec_col).collect()
-    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"id_l {id_type}, id_r {id_type}"
+
+    n = embeddings.count()
+    if n == 0:
+        return embeddings.sparkSession.createDataFrame([], out_schema)
+    assert n <= max_rows, (
+        f"cosine_pairs is the test-scale ground-truth generator "
+        f"(n={n} > max_rows={max_rows}); use hyperplane_lsh_pairs or ivf"
+    )
+    pdf_all = embeddings.select(id_col, vec_col).toPandas()
+    all_ids = pdf_all[id_col].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf_all[vec_col]])
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    bc = embeddings.sparkSession.sparkContext.broadcast((all_ids, mat))
 
     def compute(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ref_ids, ref = bc.value
         for pdf in batch_iter:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
             x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
-            sims = x @ mat.T
-            hit = (sims >= threshold) & (ids[:, None] < all_ids[None, :])
+            sims = x @ ref.T
+            hit = (sims >= threshold) & (ids[:, None] < ref_ids[None, :])
             li, ri = np.nonzero(hit)
-            yield pd.DataFrame({"id_l": ids[li], "id_r": all_ids[ri]})
+            yield pd.DataFrame({"id_l": ids[li], "id_r": ref_ids[ri]})
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        compute, "id_l long, id_r long"
-    )
+    return embeddings.select(id_col, vec_col).mapInPandas(compute, out_schema)
 
 
 def _hyperplanes(n_tables: int, bits: int, dim: int, seed: int) -> np.ndarray:

@@ -32,29 +32,38 @@ def connected_components(
     key_col: str = "url",
     max_iter: int = 25,
     nodes_unique: bool = False,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """edges(key_l, key_r) + nodes(key) → (key, cluster_id) for every node.
 
     ``cluster_id`` is the lexicographic-min member key of the component;
     singletons get their own key. Pass ``nodes_unique=True`` when the caller
     guarantees one row per key (e.g. the signature table) to skip a
-    defensive distinct shuffle.
+    defensive distinct shuffle. Pass ``edges_unique=True`` when the edge
+    list is distinct with key_l < key_r — then the two-direction union is
+    duplicate-free by construction and the symmetrize distinct (a full
+    shuffle) is skipped.
     """
-    sym = (
-        edges.select(F.col("key_l").alias("src"), F.col("key_r").alias("dst"))
-        .union(edges.select(F.col("key_r").alias("src"), F.col("key_l").alias("dst")))
-        .distinct()
-        # materialize once: the edge list is re-joined every iteration and must
-        # not drag the whole upstream pipeline lineage along with it
-        .localCheckpoint()
+    sym = edges.select(F.col("key_l").alias("src"), F.col("key_r").alias("dst")).union(
+        edges.select(F.col("key_r").alias("src"), F.col("key_l").alias("dst"))
     )
+    if not edges_unique:
+        sym = sym.distinct()
+    # materialize once: the edge list is re-joined every iteration and must
+    # not drag the whole upstream pipeline lineage along with it — AND the
+    # checkpointed RDD keeps a stable identity, so each round's join reuses
+    # the prior round's shuffle files as skipped stages (measured: a lazy
+    # sym over a cached parent re-shuffles every hop and runs ~2× slower)
+    sym = sym.localCheckpoint()
     # Only nodes with at least one edge participate in propagation; the
     # (overwhelming at web scale) singleton majority bypasses the loop and is
     # attached at the end with coalesce.
+    # initial labels stay LAZY: they derive from the already-checkpointed
+    # edge list, so round 1's materializing action computes them in-plan —
+    # one fewer blocking driver job than eagerly checkpointing them here
     labels = (
         sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     )
-    labels = labels.localCheckpoint()
 
     def propagate(lbls):
         neighbor_min = (

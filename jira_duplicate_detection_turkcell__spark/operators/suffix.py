@@ -112,11 +112,25 @@ def _group_spans(pdf: pd.DataFrame, min_len: int) -> pd.DataFrame:
     """Exact shared-substring pairs within one group of docs.
 
     Concatenate member texts with unique negative separators, build the
-    suffix array, and for each *adjacent* suffix pair from different docs
-    with LCP ≥ min_len emit (key_l, key_r, span_len). Adjacency in SA order
-    suffices: any cross-doc repeat ≥ min_len induces at least one adjacent
-    cross-doc pair with LCP ≥ min_len within its SA run.
+    suffix array + Kasai LCP, and scan the *maximal runs* of adjacent
+    LCP ≥ min_len. All suffixes of one run share a prefix of length
+    ≥ run-min LCP, so every pair of distinct docs appearing in the run
+    shares a substring that long — and conversely, any two docs sharing an
+    L-gram have their suffixes contiguous in SA order, i.e. land in one
+    run. Emitting all distinct-owner pairs per run is therefore *exactly*
+    the docs-sharing-an-L-gram relation, for any number of docs per group
+    (pairwise adjacency alone would miss pairs separated by a third doc's
+    suffixes inside the run). ``span_len`` is the max over runs of the
+    run-min LCP — a guaranteed shared-substring length (≥ min_len; not
+    necessarily the longest common substring of the pair).
     """
+    empty = pd.DataFrame(
+        {
+            "key_l": pd.Series(dtype=str),
+            "key_r": pd.Series(dtype=str),
+            "span_len": pd.Series(dtype="int64"),
+        }
+    )
     keys = pdf["url"].tolist()
     texts = pdf["text"].tolist()
     parts, owners = [], []
@@ -126,26 +140,42 @@ def _group_spans(pdf: pd.DataFrame, min_len: int) -> pd.DataFrame:
         parts.append(np.array([-(idx + 1)], dtype=np.int64))  # unique separator
         owners.append(np.full(codes.size + 1, idx, dtype=np.int64))
     if not parts:
-        return pd.DataFrame({"key_l": [], "key_r": [], "span_len": []})
+        return empty
     codes = np.concatenate(parts)
     owner = np.concatenate(owners)
     sa = suffix_array(codes)
     lcp = lcp_array(codes, sa)
     if lcp.size == 0:
-        return pd.DataFrame({"key_l": pd.Series(dtype=str), "key_r": pd.Series(dtype=str), "span_len": pd.Series(dtype="int64")})
-    o1, o2 = owner[sa[:-1]], owner[sa[1:]]
-    mask = (lcp >= min_len) & (o1 != o2)
-    rows = {}
-    for a, b, ln in zip(o1[mask], o2[mask], lcp[mask]):
-        ka, kb = (keys[a], keys[b]) if keys[a] < keys[b] else (keys[b], keys[a])
-        prev = rows.get((ka, kb), 0)
-        if ln > prev:
-            rows[(ka, kb)] = int(ln)
+        return empty
+
+    rows: dict[tuple[str, str], int] = {}
+    mask = lcp >= min_len
+    # maximal runs of consecutive True in mask: lcp[i..j] all ≥ min_len
+    # covers suffix positions sa[i..j+1]
+    edges_idx = np.flatnonzero(np.diff(np.concatenate(([0], mask.view(np.int8), [0]))))
+    for s, e in edges_idx.reshape(-1, 2):  # run over lcp[s:e]
+        os_ = owner[sa[s : e + 1]]
+        uniq = np.unique(os_)
+        if uniq.size < 2:
+            continue
+        span = int(lcp[s:e].min())
+        for ai in range(uniq.size):
+            for bi in range(ai + 1, uniq.size):
+                a, b = uniq[ai], uniq[bi]
+                ka, kb = (
+                    (keys[a], keys[b]) if keys[a] < keys[b] else (keys[b], keys[a])
+                )
+                if span > rows.get((ka, kb), 0):
+                    rows[(ka, kb)] = span
     if not rows:
-        return pd.DataFrame({"key_l": pd.Series(dtype=str), "key_r": pd.Series(dtype=str), "span_len": pd.Series(dtype="int64")})
+        return empty
     ks = list(rows)
     return pd.DataFrame(
-        {"key_l": [k[0] for k in ks], "key_r": [k[1] for k in ks], "span_len": [rows[k] for k in ks]}
+        {
+            "key_l": [k[0] for k in ks],
+            "key_r": [k[1] for k in ks],
+            "span_len": [rows[k] for k in ks],
+        }
     )
 
 
@@ -156,24 +186,68 @@ def substring_edges(
     min_len: int = 32,
     sample: int = 1,
     max_bucket_size: int = 200,
+    max_group_docs: int = 256,
 ) -> DataFrame:
     """Verified exact-shared-substring edges (key_l, key_r, span_len).
 
-    Plan: fingerprint join groups substring-sharing docs; each candidate
-    *connected group* (grouped by min fingerprint partner — here simply by
-    pair) is verified by the per-group suffix array. To keep verification
-    pairwise-local we apply the SA per candidate pair's two texts grouped via
-    applyInPandas over pair ids — exact, touches candidates only.
+    Plan: the fingerprint join nominates candidate pairs; candidates are
+    grouped into *connected components* of the candidate graph, each doc's
+    text is shipped ONCE into its group, and one suffix array per group
+    verifies every pair in it (`_group_spans` run-scan — exact for the
+    whole group). Round 1 verified per pair, replicating a doc in k
+    candidate pairs k times through the shuffle — on boilerplate-heavy
+    crawls (clique-shaped candidate graphs) that is quadratic text volume;
+    grouping makes it linear. Components larger than ``max_group_docs``
+    (text volume would not fit one task) fall back to pairwise
+    verification for exactly their pairs — same results, bounded memory.
     """
+    from .components import connected_components
+
     pairs, _hot = fingerprint_candidate_pairs(
         docs, text_col, key_col, min_len, sample, max_bucket_size
     )
+    pairs = pairs.persist()
+    nodes = (
+        pairs.select(F.col("key_l").alias(key_col))
+        .union(pairs.select(F.col("key_r").alias(key_col)))
+        .distinct()
+    )
+    comp = connected_components(
+        pairs, nodes, key_col, nodes_unique=True, edges_unique=True
+    )
+    gsizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_gsz"))
+    comp = comp.join(gsizes, "cluster_id").persist()
+
     slim = docs.select(F.col(key_col), F.col(text_col))
+
+    # ---- small components: one SA per group, each text shipped once
+    small = (
+        comp.filter(F.col("_gsz") <= max_group_docs)
+        .join(slim, key_col)
+        .select(F.col("cluster_id"), F.col(key_col).alias("url"), F.col(text_col).alias("text"))
+    )
+
+    def verify_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _group_spans(pdf, min_len)
+
+    small_edges = small.groupBy("cluster_id").applyInPandas(
+        verify_group, "key_l string, key_r string, span_len long"
+    )
+    # the group SA emits every pair sharing an L-gram — including pairs the
+    # fingerprint join never nominated (transitive group members). Keep the
+    # candidate-pair contract: restrict to nominated pairs.
+    small_edges = small_edges.join(pairs, ["key_l", "key_r"], "left_semi")
+
+    # ---- oversized components: per-pair verification (bounded memory)
+    big_keys = comp.filter(F.col("_gsz") > max_group_docs).select(
+        F.col(key_col).alias("key_l")
+    )
+    big_pairs = pairs.join(F.broadcast(big_keys), "key_l", "left_semi")
     left = slim.select(F.col(key_col).alias("key_l"), F.col(text_col).alias("text_l"))
     right = slim.select(F.col(key_col).alias("key_r"), F.col(text_col).alias("text_r"))
-    cand = pairs.join(left, "key_l").join(right, "key_r")
+    cand = big_pairs.join(left, "key_l").join(right, "key_r")
 
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+    def verify_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         out_l, out_r, out_len = [], [], []
         for key_l, key_r, t1, t2 in zip(
             pdf["key_l"], pdf["key_r"], pdf["text_l"], pdf["text_r"]
@@ -187,10 +261,10 @@ def substring_edges(
                 out_len.append(int(g["span_len"].max()))
         return pd.DataFrame({"key_l": out_l, "key_r": out_r, "span_len": out_len})
 
-    # group by hash of the pair → balanced verification partitions
     grouped = cand.withColumn(
         "pair_bucket", F.pmod(F.xxhash64("key_l", "key_r"), F.lit(256))
     )
-    return grouped.groupBy("pair_bucket").applyInPandas(
-        verify, "key_l string, key_r string, span_len long"
+    big_edges = grouped.groupBy("pair_bucket").applyInPandas(
+        verify_pairs, "key_l string, key_r string, span_len long"
     )
+    return small_edges.unionByName(big_edges)

@@ -13,6 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# MinHash-agreement screen margin below the exact-Jaccard threshold: the
+# estimator's std at k=128 is ≤ 0.045, so 0.15 ≈ 3.3σ keeps the per-pair
+# screen miss probability ≈ 0.04%
+PREFILTER_MARGIN = 0.15
+
 
 def attach_pair_columns(
     pairs: DataFrame,
@@ -52,7 +57,7 @@ def jaccard_edges(
     key_col: str = "url",
     shingles_col: str = "shingles",
     sig_col: str | None = None,
-    prefilter_margin: float = 0.15,
+    prefilter_margin: float = PREFILTER_MARGIN,
 ) -> DataFrame:
     """Verified edges (key_l, key_r, jaccard) with exact Jaccard ≥ threshold.
 

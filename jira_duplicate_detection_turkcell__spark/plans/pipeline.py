@@ -134,6 +134,93 @@ def simhash_edges(signed: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
     return edges, hot
 
 
+def fused_edges(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """MinHash-band AND SimHash-chunk edges from ONE bucketed self-join.
+
+    Round-1 profiling showed the two candidate paths as independent plan
+    subtrees cost ~10 serially-scheduled shuffle stages (the edge phase
+    scaled only 2.2× at 4× cores — per-stage scheduling latency does not
+    parallelize). Fused plan: one bucket table
+    ``(bkind, bid, bkey, url)`` unions the 32 LSH band hashes (bkind 0)
+    and the 10 SimHash chunk-pair keys (bkind 1); ONE salted self-join
+    (operators/buckets.py) yields both candidate kinds. Each doc's 64-bit
+    simhash rides the bucket rows as a carry column, so Hamming
+    verification is *inline* on the join output — the simhash path needs
+    no attach join at all. MinHash candidates then run the two-stage
+    verify (compact signature screen, exact shingle-set Jaccard) off two
+    shared attach joins; simhash-verified rows pass through them
+    untouched. Output is the distinct verified edge list (key_l, key_r).
+    """
+    from ..operators.buckets import salted_bucket_pairs
+
+    with_sim = cfg.enable_simhash and "simhash" in signed.columns
+
+    if "band_hashes" in signed.columns:
+        band_arr = F.col("band_hashes")
+    else:
+        band_arr = minhash.band_hash_expr(F.col("minhash_sig"), cfg.bands, cfg.rows)
+    structs = F.transform(
+        band_arr,
+        lambda h, i: F.struct(
+            F.lit(0).alias("bkind"), i.alias("bid"), h.alias("bkey")
+        ),
+    )
+    if with_sim:
+        structs = F.concat(
+            structs,
+            F.transform(
+                simhash.chunk_pair_keys("simhash"),
+                lambda h, i: F.struct(
+                    F.lit(1).alias("bkind"), i.alias("bid"), h.alias("bkey")
+                ),
+            ),
+        )
+    carry = ["simhash"] if with_sim else []
+    buckets = signed.select("url", *carry, F.explode(structs).alias("b")).select(
+        "b.bkind", "b.bid", "b.bkey", "url", *carry
+    )
+    # one spreading granularity for both kinds — the cap no longer affects
+    # recall (salting, not dropping), only per-cell work
+    pairs, _hot = salted_bucket_pairs(
+        buckets,
+        ["bkind", "bid", "bkey"],
+        "url",
+        cfg.minhash_bucket_cap,
+        carry_cols=carry,
+        out_bucket_cols=["bkind"],
+    )
+    if with_sim:
+        pairs = pairs.where(
+            (F.col("bkind") == 0)
+            | (
+                F.bit_count(F.col("simhash_l").bitwiseXOR(F.col("simhash_r")))
+                <= cfg.hamming_max
+            )
+        )
+    cand = pairs.select("bkind", "key_l", "key_r").distinct()
+
+    screened = verify.attach_pair_columns(cand, signed, ["minhash_sig"], "url")
+    est = verify.signature_agreement(
+        F.col("minhash_sig_l"), F.col("minhash_sig_r")
+    )
+    survivors = screened.where(
+        (F.col("bkind") == 1)
+        | (est >= cfg.jaccard_threshold - verify.PREFILTER_MARGIN)
+    ).select("bkind", "key_l", "key_r")
+
+    fat = verify.attach_pair_columns(survivors, signed, ["shingles"], "url")
+    inter = F.size(F.array_intersect(F.col("shingles_l"), F.col("shingles_r")))
+    union = F.size("shingles_l") + F.size("shingles_r") - inter
+    jac = F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        fat.where((F.col("bkind") == 1) | (jac >= cfg.jaccard_threshold))
+        .select("key_l", "key_r")
+        .distinct()
+    )
+
+
 def substring_edges(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     return suffix.substring_edges(
         docs, "text", "url", cfg.substr_min_len, cfg.substr_sample, cfg.substr_bucket_cap
@@ -210,36 +297,40 @@ def run_dedup(
         for e in edge_parts[1:]:
             edges = edges.union(e)
         edges = edges.distinct()
-        clusters = stage("clusters", lambda: connected_components(edges, docs, "url"))
+        clusters = stage(
+            "clusters",
+            lambda: connected_components(edges, docs, "url", edges_unique=True),
+        )
         return {"docs": docs, "signatures": signed, "edges": edges, "clusters": clusters}
 
     # in-memory mode: minimize materialization barriers — each Spark action
     # carries fixed scheduler/AQE latency, and at 10^5-10^6 docs the job count,
     # not compute, set the wall-clock floor (measured: 120 jobs ≈ 2 min serial
     # floor). Only two wide tables are pinned: signatures and the edge list.
+    # Candidate generation + verification run as ONE fused plan (fused_edges)
+    # instead of two independent per-path subtrees; the returned edge list is
+    # distinct in both modes (same edge-table semantics as checkpointed mode).
     docs = extract_stage(pages)
     if cfg.enable_substring:
         docs = docs.persist()  # substring path re-reads text
     signed = stage("signatures", lambda: signature_stage(docs, cfg))
 
-    edges_plan = minhash_edges(signed, cfg)[0].select("key_l", "key_r")
-    if cfg.enable_simhash:
-        edges_plan = edges_plan.union(
-            simhash_edges(signed, cfg)[0].select("key_l", "key_r")
-        )
+    edges_plan = fused_edges(signed, cfg)
     if cfg.enable_substring:
         edges_plan = edges_plan.union(
             substring_edges(docs, cfg).select("key_l", "key_r")
-        )
-    # no .distinct() here: connected_components symmetrizes with its own
-    # union+distinct, so deduping the edge list first would just add a full
-    # extra shuffle of the same data
+        ).distinct()
     edges = stage("edges", lambda: edges_plan)
 
     clusters = clocked(
         "connected_components",
         lambda: connected_components(
-            edges, signed.select("url"), "url", nodes_unique=True
+            edges,
+            signed.select("url"),
+            "url",
+            nodes_unique=True,
+            # the edge stage above persisted + counted the distinct l<r list
+            edges_unique=True,
         ),
     )
     return {"docs": docs, "signatures": signed, "edges": edges, "clusters": clusters}

@@ -92,6 +92,33 @@ def test_substring_edges_match_bruteforce(spark, docs, texts):
     assert found == truth
 
 
+def test_substring_group_verification_emits_transitive_pairs(spark):
+    # three docs share one 48+ char run → one candidate component; the group
+    # SA must emit ALL THREE pairs, including (a, c) whose suffixes may be
+    # separated by b's inside the SA run (pairwise adjacency would miss it)
+    from jira_duplicate_detection_turkcell__spark.operators import suffix
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        ("a", f"alpha prefix {shared} alpha suffix"),
+        ("b", f"beta prelude {shared} beta coda"),
+        ("c", f"gamma start {shared} gamma end"),
+        ("d", "unrelated content with no long runs shared with anyone else here"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    edges = suffix.substring_edges(docs, "text", "url", min_len=48)
+    got = {(r["key_l"], r["key_r"]) for r in edges.collect()}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_fused_edges_equal_union_of_per_path_edges(signed):
+    fused = P.fused_edges(signed, CFG)
+    got = {(r["key_l"], r["key_r"]) for r in fused.collect()}
+    mh = {(r["key_l"], r["key_r"]) for r in P.minhash_edges(signed, CFG)[0].collect()}
+    sh = {(r["key_l"], r["key_r"]) for r in P.simhash_edges(signed, CFG)[0].collect()}
+    assert got == (mh | sh)
+
+
 def test_connected_components_hand_graphs(spark):
     nodes = spark.createDataFrame([(k,) for k in "abcdefg"], "url string")
     edges = spark.createDataFrame(

@@ -90,6 +90,17 @@ def test_cosine_pairs_vs_numpy(emb):
     assert got == truth
 
 
+def test_cosine_pairs_empty_and_guarded(emb, spark):
+    empty = emb.filter("vec_id < 0")
+    out = annsearch.cosine_pairs(empty, 0.45)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_l", "id_r"]
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="ground-truth"):
+        annsearch.cosine_pairs(emb, 0.45, max_rows=1)
+
+
 def test_hyperplane_lsh_subset_of_bruteforce(emb):
     brute = {(r["id_l"], r["id_r"]) for r in annsearch.cosine_pairs(emb, 0.45).collect()}
     got = {
