@@ -25,6 +25,21 @@ SUBSTR_LEN = 48
 COS_THRESHOLD = 0.46
 KNN_K = 5
 KNN_QUERIES = 10
+TRUNC_CHARS = 120
+
+# F19 pattern families, corpus-adapted so the extraction demonstrably fires
+# on the synthetic webtext (the engine's default families are the reference's
+# real ones — functions/features.REFERENCE_FAMILIES, cited there); both
+# engines run these exact patterns, so results are oracle-comparable.
+QUERY_FAMILIES: dict[str, list[str]] = {
+    "application": [r"\b(spark)\b", r"\b(duckdb)\b"],
+    "platform": [r"\b(stream|batch)\b"],
+    "version": [r"(\d+\.\d+(?:\.\d+)?)", r"\b(\d+)\b"],
+    "device": [r"\b(vector|table)\b"],
+    "severity": [r"\b(slow|fast)\b", r"\b(big|small)\b"],
+    "component": [r"\b(join|filter|scan|sort)\b"],
+}
+QUERY_SEVERITY_MAP = {"slow": "High", "fast": "Low", "big": "High", "small": "Low"}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -32,25 +47,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _docs_with_signatures(spark, sf_dir):
-    from jira_duplicate_detection_turkcell__spark.functions.shingle import word_shingles
-    from jira_duplicate_detection_turkcell__spark.operators import minhash
+    """(url, shingles, minhash_sig, band_hashes) via the fused one-pass
+    numpy signing kernel (operators/signatures.sign_docs). doc_id is carried
+    as a zero-padded string key so lexicographic key_l < key_r agrees with
+    the numeric order the DuckDB oracle uses."""
+    from jira_duplicate_detection_turkcell__spark.operators import signatures
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = docs.withColumn("shingles", word_shingles(F.col("text"), 3))
-    return minhash.add_signature(docs, "shingles", "minhash_sig", 128, 7)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"), "text"
+    )
+    return signatures.sign_docs(
+        docs, shingle_w=3, num_perm=128, seed=7, with_simhash=False
+    )
 
 
 def _minhash_verified_pairs(spark, sf_dir):
     from jira_duplicate_detection_turkcell__spark.operators import minhash, verify
 
     signed = _docs_with_signatures(spark, sf_dir)
-    bands = minhash.explode_bands(signed, "minhash_sig", "doc_id", bands=32, rows=4)
-    pairs, _hot = minhash.candidate_pairs(bands, "doc_id", max_bucket_size=100_000)
+    bands = signed.select(
+        "url", F.posexplode("band_hashes").alias("band_id", "band_hash")
+    )
+    pairs, _hot = minhash.candidate_pairs(bands, "url", max_bucket_size=100_000)
+    # no signature screen here: the oracle gate needs EXACT set-Jaccard pair
+    # semantics; the screen's ~0.04%/pair miss rate belongs to the scale path
     edges = verify.jaccard_edges(
-        pairs, signed, JACCARD_NUM / JACCARD_DEN, "doc_id", "shingles"
+        pairs, signed, JACCARD_NUM / JACCARD_DEN, "url", "shingles"
     )
     return edges.select(
-        F.col("key_l").alias("id_l"), F.col("key_r").alias("id_r")
+        F.col("key_l").cast("long").alias("id_l"),
+        F.col("key_r").cast("long").alias("id_r"),
     )
 
 
@@ -188,6 +214,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lang_hist(spark, sf_dir):
         return _t(spark, sf_dir, "documents").groupBy("lang").agg(
             F.count(F.lit(1)).alias("n_docs")
+        )
+
+    # ---- feature extraction / sampling / truncation (F19, A6, F20) -------
+
+    def q_feature_extract(spark, sf_dir):
+        from jira_duplicate_detection_turkcell__spark.functions import features as FX
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        out = FX.extract_features(
+            docs, "text", QUERY_FAMILIES, QUERY_SEVERITY_MAP
+        )
+        return out.select("doc_id", *QUERY_FAMILIES.keys())
+
+    def q_extract_hit_rate(spark, sf_dir):
+        from jira_duplicate_detection_turkcell__spark.functions import features as FX
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        return FX.sampled_hit_rate(
+            docs, "text", QUERY_FAMILIES, sample_rows=100, order_col="doc_id"
+        )
+
+    def q_truncate_preview(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id", ts.truncate_ellipsis(F.col("text"), TRUNC_CHARS).alias("preview")
+        )
+
+    def q_partition_pruned(spark, sf_dir):
+        # P4: write the docs table partitioned by lang, read it back with a
+        # partition filter — the scan's PartitionFilters prunes all other
+        # lang directories (pytest + explain_audit assert this on the plan)
+        import os as _os
+
+        from jira_duplicate_detection_turkcell__spark.sources import ingest
+
+        out = (
+            f"/tmp/spark_graft_partitioned/"
+            f"{_os.path.basename(sf_dir.rstrip('/'))}/documents_by_lang"
+        )
+        ingest.write_partitioned(
+            _t(spark, sf_dir, "documents"), out, ["lang"]
+        )
+        pruned = spark.read.parquet(out).filter(F.col("lang") == "en")
+        return pruned.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text").cast("long")).alias("sum_chars"),
         )
 
     # ---- multimodal plumbing --------------------------------------------
@@ -419,6 +491,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "masking_stats": q_masking_stats,
         "lang_hist": q_lang_hist,
+        "feature_extract": q_feature_extract,
+        "extract_hit_rate": q_extract_hit_rate,
+        "truncate_preview": q_truncate_preview,
+        "partition_pruned": q_partition_pruned,
         "binary_meta": q_binary_meta,
         "agg_lineitem": q_agg_lineitem,
         "filter_eq_topk": q_filter_eq_topk,
@@ -581,6 +657,62 @@ FROM documents
 """
 
     sql["lang_hist"] = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+    def _fam_sql(patterns: list[str]) -> str:
+        parts = [
+            f"nullif(trim(regexp_extract(text, '{p}', 1)), '')" for p in patterns
+        ]
+        return parts[0] if len(parts) == 1 else "coalesce(" + ", ".join(parts) + ")"
+
+    _sev_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN lower(severity_raw) = '{raw}' THEN '{canon}'"
+            for raw, canon in QUERY_SEVERITY_MAP.items()
+        )
+        + " ELSE severity_raw END"
+    )
+    sql["feature_extract"] = f"""
+WITH f AS (
+  SELECT doc_id,
+    {_fam_sql(QUERY_FAMILIES["application"])} AS application,
+    {_fam_sql(QUERY_FAMILIES["platform"])} AS platform,
+    {_fam_sql(QUERY_FAMILIES["version"])} AS version,
+    {_fam_sql(QUERY_FAMILIES["device"])} AS device,
+    {_fam_sql(QUERY_FAMILIES["severity"])} AS severity_raw,
+    {_fam_sql(QUERY_FAMILIES["component"])} AS component
+  FROM documents
+)
+SELECT doc_id, application, platform, version, device,
+  {_sev_case} AS severity, component
+FROM f
+"""
+
+    _hit_cols = ", ".join(
+        f"CAST(floor(sum(CASE WHEN {_fam_sql(pats)} IS NOT NULL THEN 1 ELSE 0 END)"
+        f" * t.n_total / count(*)) AS BIGINT) AS est_{fam}"
+        for fam, pats in QUERY_FAMILIES.items()
+    )
+    sql["extract_hit_rate"] = f"""
+WITH s AS (SELECT text FROM documents ORDER BY doc_id LIMIT 100),
+     t AS (SELECT count(*) AS n_total FROM documents)
+SELECT t.n_total AS n_total, count(*) AS n_sample, {_hit_cols}
+FROM s, t GROUP BY t.n_total
+"""
+
+    sql["truncate_preview"] = f"""
+SELECT doc_id,
+  CASE WHEN len(text) > {TRUNC_CHARS}
+       THEN substr(text, 1, {TRUNC_CHARS}) || '...' ELSE text END AS preview
+FROM documents
+"""
+
+    # the Spark side reads a lang-partitioned copy with a partition filter;
+    # result must equal the plain filtered aggregate
+    sql["partition_pruned"] = """
+SELECT count(*) AS n_docs, CAST(sum(len(text)) AS BIGINT) AS sum_chars
+FROM documents WHERE lang = 'en'
+"""
 
     sql["binary_meta"] = (
         "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "

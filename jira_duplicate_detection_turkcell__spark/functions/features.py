@@ -142,7 +142,7 @@ def sampled_hit_rate(
             F.sum(F.when(hit, 1).otherwise(0)).alias(f"_hits_{fam}")
         )
     row = sample.agg(*aggs)
-    est_cols = [F.lit(total).alias("n_total"), F.col("n_sample")]
+    est_cols = [F.lit(total).cast("long").alias("n_total"), F.col("n_sample")]
     for fam in families:
         est_cols.append(
             F.floor(

@@ -79,6 +79,15 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(normalized.cast("binary"))
 
 
+def truncate_ellipsis(text: Column, max_chars: int = 200) -> Column:
+    """F20: ``text[:N] + '...'`` when longer than N, else the text verbatim
+    (reference hybrid_search.py:499)."""
+    return F.when(
+        F.length(text) > max_chars,
+        F.concat(F.substring(text, 1, max_chars), F.lit("...")),
+    ).otherwise(text)
+
+
 def quality_columns(text: Column) -> list[Column]:
     """Integer quality-signal columns for filtering pipelines."""
     return [

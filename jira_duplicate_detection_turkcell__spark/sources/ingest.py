@@ -98,3 +98,22 @@ def write_pages(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Schema-pinned sink (S6): enforce the pages schema on write."""
     cols = [f.name for f in PAGES_SCHEMA.fields if f.name in df.columns]
     df.select(*cols).write.mode(mode).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet sink — the plain-parquet analog of the north
+    rule's Iceberg partition spec (days(warc_ts) / bucket(url)): partition
+    values become directory keys, so filters on them prune whole
+    directories at planning time (``PartitionFilters`` in the scan, P4).
+    On Iceberg the same write is ``.writeTo(tbl).partitionedBy(
+    days("warc_ts"), bucket(N, "url"))`` with hidden transforms; reference
+    analog: per-platform index selection (hybrid_search.py:361-386).
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV debug sink (S7; reference preprocess_duplicate.py:499-506)."""
+    df.write.mode(mode).option("header", True).csv(path)

@@ -32,6 +32,11 @@ AUDIT = {
     ],
     "minhash_lsh_pairs": [],
     "token_stats": [("WholeStageCodegen", "expressions must stay in codegen")],
+    "feature_extract": [("WholeStageCodegen", "regex families must stay in codegen")],
+    "partition_pruned": [
+        ("(lang", "lang filter must appear as a partition filter"),
+        ("PartitionFilters: [isnotnull(lang", "scan must prune lang directories"),
+    ],
 }
 
 

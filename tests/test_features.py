@@ -1,0 +1,81 @@
+"""F19 multi-family feature extraction — parity vs the reference extractor.
+
+The reference TextFeatureExtractor (src/text_feature_extractor.py) is
+imported at test time only, as a behavioral oracle, exactly like the
+extract-parity suite does for the cleaner.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from jira_duplicate_detection_turkcell__spark.functions import features as FX
+from jira_duplicate_detection_turkcell__spark.functions.textstats import truncate_ellipsis
+
+TEXTS = [
+    "BiP uygulaması iOS 14.5'te açılmıyor. iPhone 12'de test edildi.",
+    "Whatsapp Android 11'de çöküyor. Kritik hata!",
+    "Login component'inde bug var. Version 2.3.1",
+    "Samsung Galaxy S21 Windows login problemi, severity: high",
+    "the app: FooBar 99 crashes on macOS, low priority",
+    "component: Payment Gateway   failure on iPad Pro",
+    "nothing interesting here at all",
+    "",
+    "urgent! Instagram donuyor, versiyon 7.7.7 Huawei P30",
+]
+FAMILIES = ["application", "platform", "version", "device", "severity", "component"]
+
+
+def _reference_extractor():
+    ref_src = Path("/root/reference/src")
+    if not ref_src.exists():  # pragma: no cover
+        pytest.skip("reference repo not available")
+    if str(ref_src) not in sys.path:
+        sys.path.insert(0, str(ref_src))
+    from text_feature_extractor import TextFeatureExtractor  # type: ignore
+
+    return TextFeatureExtractor()
+
+
+def test_feature_extraction_parity_vs_reference(spark):
+    ref = _reference_extractor()
+    expected = {
+        t: ref.extract_all_features(t, FAMILIES) for t in TEXTS
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    out = FX.extract_features(df, "text")
+    got_rows = {r["doc_id"]: r for r in out.collect()}
+    for i, t in enumerate(TEXTS):
+        for fam in FAMILIES:
+            got = got_rows[i][fam]
+            want = expected[t][fam]
+            assert got == want, f"text {i!r} family {fam}: spark={got!r} ref={want!r}"
+
+
+def test_sampled_hit_rate_extrapolation(spark):
+    rows = [(i, "version 1.2.3" if i % 2 == 0 else "no match") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = FX.sampled_hit_rate(
+        df, "text", {"version": [r"(\d+\.\d+\.\d+)"]}, sample_rows=10, order_col="doc_id"
+    ).collect()[0]
+    assert out["n_total"] == 40 and out["n_sample"] == 10
+    # first 10 rows by doc_id → 5 hits → est = floor(5 * 40 / 10) = 20
+    assert out["est_version"] == 20
+
+
+def test_truncate_ellipsis(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 250), (2, "short")], "id long, text string"
+    )
+    got = {
+        r["id"]: r["t"]
+        for r in df.select("id", truncate_ellipsis(F.col("text"), 200).alias("t")).collect()
+    }
+    assert got[1] == "x" * 200 + "..." and len(got[1]) == 203
+    assert got[2] == "short"

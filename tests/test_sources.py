@@ -44,6 +44,38 @@ def test_validate_columns_raises(spark, tmp_path):
         ingest.validate_columns(df, ["A", "ZZZ"])
 
 
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    # P4: a filter on the partition column must appear as PartitionFilters
+    # in the scan (directory pruning), not just a data filter
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"doc {i}", ["en", "de", "fr"][i % 3]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "by_lang")
+    ingest.write_partitioned(df, out, ["lang"])
+
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    assert back.count() == 10
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert "(lang" in plan and "= en)" in plan
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    rows = [(1, "alpha"), (2, "beta")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = str(tmp_path / "csv_out")
+    ingest.write_csv(df, out)
+    back = spark.read.option("header", True).csv(out)
+    assert {(int(r["id"]), r["name"]) for r in back.collect()} == set(rows)
+
+
 def test_pages_write_read_roundtrip(spark, tmp_path):
     pages = spark.createDataFrame(synth.generate_pages_pdf(16, seed=42)).withColumn(
         "text", __import__("pyspark").sql.functions.lit(None).cast("string")
