@@ -194,6 +194,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", ts.langid_heuristic(F.col("text")).alias("lang_pred")
         )
 
+    def q_langid_confidence(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return docs.select("doc_id", *ts.langid_confidence_columns(F.col("text")))
+
     def q_doc_fingerprints(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return docs.select("doc_id", ts.fingerprint_md5(F.col("text")).alias("fp"))
@@ -488,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "token_stats": q_token_stats,
         "langid": q_langid,
+        "langid_confidence": q_langid_confidence,
         "doc_fingerprints": q_doc_fingerprints,
         "masking_stats": q_masking_stats,
         "lang_hist": q_lang_hist,
@@ -639,6 +644,31 @@ WITH h AS (
   SELECT doc_id, {_best} AS best, * FROM h
 )
 SELECT doc_id, CASE {_case} ELSE 'unknown' END AS lang_pred FROM b
+"""
+
+    from jira_duplicate_detection_turkcell__spark.functions.textstats import (
+        LANG_MARKERS_EXT,
+    )
+
+    _xhits = {
+        lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
+        for lang, pat in sorted(LANG_MARKERS_EXT.items())
+    }
+    _xbest = "greatest(" + ", ".join(f"h_{k}" for k in _xhits) + ")"
+    _xtotal = " + ".join(f"h_{k}" for k in _xhits)
+    _xcase = " ".join(
+        f"WHEN h_{k} = best AND best > 0 THEN '{k}'" for k in _xhits
+    )
+    sql["langid_confidence"] = f"""
+WITH h AS (
+  SELECT doc_id, {", ".join(f"{v} AS h_{k}" for k, v in _xhits.items())}
+  FROM documents
+), b AS (
+  SELECT doc_id, {_xbest} AS best, {_xtotal} AS total, * FROM h
+)
+SELECT doc_id, CASE {_xcase} ELSE 'unknown' END AS lang_pred,
+  CAST(best AS BIGINT) AS n_hits_best, CAST(total AS BIGINT) AS n_hits_total
+FROM b
 """
 
     sql["doc_fingerprints"] = r"""

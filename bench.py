@@ -50,7 +50,7 @@ PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
 # (untimed — corpus synthesis is bench scaffolding, not engine work; the
 # north-rule input is an Iceberg/parquet table) with a constant partition
 # count, and only the table→clusters pipeline is timed.
-PAGES_PARTITIONS = 64
+PAGES_PARTITIONS = 128
 
 
 def run_pages_pipeline(spark, n_docs: int) -> tuple[float, int]:

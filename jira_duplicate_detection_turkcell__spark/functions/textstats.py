@@ -72,6 +72,50 @@ def langid_heuristic(text: Column) -> Column:
     return expr
 
 
+# Wider marker sets for the confidence-scored variant — the deterministic
+# stand-in for the reference's CLD3→fastText→langdetect cascade
+# (src/preprocess_jira.py:110-210), which emits "en (0.75)"-style
+# language+confidence. Confidence here is evidence counts (best-language
+# hits / total hits) kept as INTEGER columns so cross-engine value hashing
+# is exact; consumers derive the ratio. ASCII-only for Java/RE2 \b parity.
+LANG_MARKERS_EXT: dict[str, str] = {
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|auf|von|zu|den|sich)\b",
+    "en": r"\b(the|and|of|to|in|is|that|for|with|on|as|are|was|this)\b",
+    "es": r"\b(el|la|los|las|que|de|en|un|una|por|con|para|su|es)\b",
+    "fr": r"\b(le|la|les|des|une|est|dans|pour|qui|avec|sur|pas|par|plus)\b",
+    "it": r"\b(il|che|di|e|un|una|per|con|del|sono|non|si|come|anche)\b",
+    "nl": r"\b(de|het|een|en|van|is|dat|op|voor|met|zijn|niet|aan|ook)\b",
+    "pt": r"\b(o|a|os|as|que|de|em|um|uma|para|com|por|nao|mais)\b",
+    "tr": r"\b(ve|bir|bu|ile|olarak|daha|gibi|ama|icin|cok|var|yok|sonra|kadar)\b",
+}
+
+
+def langid_confidence_columns(text: Column) -> list[Column]:
+    """(lang_pred, n_hits_best, n_hits_total) over the extended marker sets.
+
+    ``n_hits_best / n_hits_total`` is the confidence analog of the
+    reference cascade's score; 'unknown' rows have both counts derivable
+    (best may be 0). Ties break alphabetically like langid_heuristic.
+    """
+    low = F.lower(text)
+    pairs = [
+        (lang, F.regexp_count(low, F.lit(pat)))
+        for lang, pat in sorted(LANG_MARKERS_EXT.items())
+    ]
+    best = F.greatest(*[c for _, c in pairs])
+    total = pairs[0][1]
+    for _, c in pairs[1:]:
+        total = total + c
+    pred = F.lit("unknown")
+    for lang, cnt in reversed(pairs):
+        pred = F.when((cnt == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return [
+        pred.alias("lang_pred"),
+        best.cast("long").alias("n_hits_best"),
+        total.cast("long").alias("n_hits_total"),
+    ]
+
+
 def fingerprint_md5(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of lowercased,
     whitespace-collapsed text (hex)."""

@@ -26,6 +26,55 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _single_task_components(edges: DataFrame) -> DataFrame:
+    """(node, cluster_id) for every node with an edge — one union-find task.
+
+    The whole edge list is coalesced into one partition and resolved with
+    path-halving union-find inside a single mapInPandas task. cluster_id is
+    the lexicographic-min member (identical to the iterative path).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    key_type = edges.schema["key_l"].dataType.simpleString()
+
+    def resolve(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batch_iter:
+            for a, b in zip(pdf["key_l"], pdf["key_r"]):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min keeps the canonical (min) key at the root
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        if parent:
+            nodes_out = list(parent)
+            yield pd.DataFrame(
+                {"node": nodes_out, "cluster_id": [find(x) for x in nodes_out]}
+            )
+
+    return (
+        edges.select("key_l", "key_r")
+        .coalesce(1)
+        .mapInPandas(resolve, f"node {key_type}, cluster_id {key_type}")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -33,6 +82,8 @@ def connected_components(
     max_iter: int = 25,
     nodes_unique: bool = False,
     edges_unique: bool = False,
+    hops_per_round: int = 2,
+    small_graph_edges: int = 5_000_000,
 ) -> DataFrame:
     """edges(key_l, key_r) + nodes(key) → (key, cluster_id) for every node.
 
@@ -43,18 +94,43 @@ def connected_components(
     list is distinct with key_l < key_r — then the two-direction union is
     duplicate-free by construction and the symmetrize distinct (a full
     shuffle) is skipped.
+
+    Hybrid execution: the verified-duplicate edge list is orders of
+    magnitude smaller than the corpus (only near-duplicate pairs survive
+    verification). When it fits ONE task (≤ ``small_graph_edges``; ~32
+    bytes/edge ⇒ the default is ~160 MB in a single executor task), the
+    fixpoint loop is replaced by a single-task union-find over a
+    ``coalesce(1)`` + ``mapInPandas`` — an executor-side Spark task, not a
+    driver loop — because at that size the iterative path is pure
+    orchestration latency (measured: 10 label-propagation rounds ≈ 8-10 s
+    for a 22k-edge graph whose union-find takes milliseconds). Larger edge
+    lists take the distributed label-propagation path unchanged. Set
+    ``small_graph_edges=0`` to force the iterative path.
     """
+    if small_graph_edges and edges.count() <= small_graph_edges:
+        assigned = _single_task_components(edges)
+        base = nodes.select(key_col)
+        if not nodes_unique:
+            base = base.distinct()
+        return base.join(
+            assigned.withColumnRenamed("node", key_col), key_col, "left"
+        ).select(
+            key_col,
+            F.coalesce(F.col("cluster_id"), F.col(key_col)).alias("cluster_id"),
+        )
+
     sym = edges.select(F.col("key_l").alias("src"), F.col("key_r").alias("dst")).union(
         edges.select(F.col("key_r").alias("src"), F.col("key_l").alias("dst"))
     )
     if not edges_unique:
         sym = sym.distinct()
-    # materialize once: the edge list is re-joined every iteration and must
-    # not drag the whole upstream pipeline lineage along with it — AND the
-    # checkpointed RDD keeps a stable identity, so each round's join reuses
-    # the prior round's shuffle files as skipped stages (measured: a lazy
-    # sym over a cached parent re-shuffles every hop and runs ~2× slower)
-    sym = sym.localCheckpoint()
+    # Materialize once, PRE-PARTITIONED on the join key: localCheckpoint
+    # truncates upstream lineage (the edge list would otherwise be recomputed
+    # every round) and preserves outputPartitioning, so no per-round join
+    # ever exchanges the edge table again — only the (small) label table
+    # moves each hop. (Measured: a lazy sym over a cached parent re-shuffles
+    # every hop and runs ~2× slower.)
+    sym = sym.repartition(F.col("dst")).localCheckpoint()
     # Only nodes with at least one edge participate in propagation; the
     # (overwhelming at web scale) singleton majority bypasses the loop and is
     # attached at the end with coalesce.
@@ -65,31 +141,40 @@ def connected_components(
         sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     )
 
-    def propagate(lbls):
-        neighbor_min = (
-            sym.join(lbls, sym.dst == lbls.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+    def hop(lbls):
+        # neighbor-min in message form — 2 exchanges (labels→dst,
+        # min-combine→node) instead of join+groupBy+join-back's 3. The self
+        # message carries the old label in a side column so "did anything
+        # change this round" falls out of the aggregate — no old⋈new join.
+        msgs = sym.join(lbls, sym.dst == lbls.node).select(
+            F.col("src").alias("node"),
+            F.col("label"),
+            F.lit(None).cast(lbls.schema["label"].dataType).alias("old"),
         )
+        self_msgs = lbls.select("node", "label", F.col("label").alias("old"))
         return (
-            lbls.join(neighbor_min, lbls.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("changed"),
-            )
+            msgs.union(self_msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
         )
 
-    # Each materialization runs TWO propagation hops (so label information
-    # travels 2^k edges after k rounds on path graphs would need large-star;
-    # for the shallow near-dup components here it simply halves the number
-    # of driver round-trips), and the convergence count doubles as the
-    # materializing action — one Spark job per round instead of four.
+    # Round = ``hops_per_round`` chained neighbor hops, one materializing
+    # action (the changed count of the LAST hop; if the last hop changed
+    # nothing, earlier hops converged too). Near-dup chains (incremental
+    # mutation runs in a crawl) give the candidate graph diameters of 20+,
+    # so label information must travel many edges; chaining hops inside one
+    # job trades a little per-job plan size for proportionally fewer driver
+    # round-trips. (Pointer-jumping variants were measured SLOWER here: the
+    # jump self-join re-executes the evolving subtree per jump, and with
+    # graph diameter ≪ 100 the round count saved does not pay for it.
+    # Adversarial million-hop chains would want large-star/small-star.)
     for _ in range(max_iter):
-        stepped = propagate(propagate(labels).drop("changed"))
-        new_labels = stepped.localCheckpoint(eager=False)
+        stepped = hop(labels)
+        for _extra in range(hops_per_round - 1):
+            stepped = hop(stepped.select("node", "label"))
+        new_labels = stepped.withColumn(
+            "changed", F.col("label") < F.col("old")
+        ).drop("old").localCheckpoint(eager=False)
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:

@@ -30,6 +30,12 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # default 128 MB splits bin-pack a ~0.5 GB pages table into <cores read
+    # tasks → a single straggler-bound wave feeding the whole pipeline
+    # (wall = max task, and this host steals CPUs). 32 MB keeps scans
+    # multi-wave at bench scale; a real cluster would raise it back via
+    # --conf along with shuffle partitions.
+    "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
     # The engine relies on wrapping 64-bit arithmetic inside numpy (never
     # in SQL expressions), so ANSI mode stays ON — overflow in a SQL expr
     # is a bug we want surfaced, not wrapped.

@@ -119,28 +119,35 @@ def test_fused_edges_equal_union_of_per_path_edges(signed):
     assert got == (mh | sh)
 
 
-def test_connected_components_hand_graphs(spark):
+@pytest.mark.parametrize("small_gate", [5_000_000, 0])
+def test_connected_components_hand_graphs(spark, small_gate):
+    # small_gate=5M → single-task union-find path; 0 → iterative propagation
     nodes = spark.createDataFrame([(k,) for k in "abcdefg"], "url string")
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("e", "f")], "key_l string, key_r string"
     )
     got = {
         r["url"]: r["cluster_id"]
-        for r in components.connected_components(edges, nodes).collect()
+        for r in components.connected_components(
+            edges, nodes, small_graph_edges=small_gate
+        ).collect()
     }
     assert got == {
         "a": "a", "b": "a", "c": "a", "d": "d", "e": "e", "f": "e", "g": "g",
     }
 
 
-def test_connected_components_chain(spark):
+@pytest.mark.parametrize("small_gate", [5_000_000, 0])
+def test_connected_components_chain(spark, small_gate):
     # a chain stresses iteration count: 12 nodes in one line
     keys = [f"n{i:02d}" for i in range(12)]
     nodes = spark.createDataFrame([(k,) for k in keys], "url string")
     edges = spark.createDataFrame(
         list(zip(keys, keys[1:])), "key_l string, key_r string"
     )
-    got = components.connected_components(edges, nodes).collect()
+    got = components.connected_components(
+        edges, nodes, small_graph_edges=small_gate
+    ).collect()
     assert {r["cluster_id"] for r in got} == {"n00"}
 
 
@@ -190,7 +197,10 @@ def test_mega_bucket_true_pairs_recovered_with_bounded_tasks(spark):
     pairs, hot = salted_bucket_pairs(
         bands, ["band_id", "band_hash"], "url", cap=100
     )
-    assert hot.collect()[0]["count"] == n
+    # hot-bucket size is a sampled estimate (work-spreading only, see
+    # operators/buckets.py) — it must still flag the planted mega-bucket
+    est = hot.collect()[0]["count"]
+    assert 0.5 * n <= est <= 1.5 * n
     assert pairs.count() == n * (n - 1) // 2  # every unordered pair, exactly once
     probe = pairs.filter(
         (F.col("key_l") == "doc00000") & (F.col("key_r") == "doc01999")
