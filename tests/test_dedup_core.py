@@ -208,6 +208,18 @@ def test_mega_bucket_true_pairs_recovered_with_bounded_tasks(spark):
     assert probe.count() == 1
 
 
+def test_exact_collapse_identical_clusters(spark, pages):
+    # collapsing byte-identical texts to representatives must not change
+    # the final cluster assignment (copies inherit the rep's neighbors)
+    import dataclasses
+
+    base = P.run_dedup(spark, pages, CFG)
+    collapsed = P.run_dedup(spark, pages, dataclasses.replace(CFG, exact_collapse=True))
+    a = {r["url"]: r["cluster_id"] for r in base["clusters"].collect()}
+    b = {r["url"]: r["cluster_id"] for r in collapsed["clusters"].collect()}
+    assert a == b
+
+
 def test_generation_invariant_to_partitioning(spark):
     a = synth.generate_pages_df(spark, 64, seed=42, partitions=2).orderBy("url").collect()
     b = synth.generate_pages_df(spark, 64, seed=42, partitions=13).orderBy("url").collect()
