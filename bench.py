@@ -68,12 +68,14 @@ def run_pages_pipeline(spark, n_docs: int) -> tuple[float, int]:
         synth.generate_pages_df(
             spark, n_docs, seed=42, partitions=PAGES_PARTITIONS
         ).write.parquet(path)
-        # re-spread the scan: parquet file bin-packing would coalesce the 64
-        # small files into ~8 input splits, making the (expensive) extract+
-        # signature stage a single straggler-bound wave at 8+ cores. The
-        # repartition shuffles only raw pages (cheap) and is identical at
-        # every parallelism level.
-        pages = spark.read.parquet(path).repartition(PAGES_PARTITIONS)
+        # spread the scan by SPLIT SIZE, not by a repartition: parquet file
+        # bin-packing would coalesce the small files into ~cores input
+        # splits, making the expensive extract+signature stage a single
+        # straggler-bound wave — but an explicit repartition pays a full
+        # shuffle of the raw html corpus. 4 MB splits give fine-grained
+        # waves for free and are identical at every parallelism level.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        pages = spark.read.parquet(path)
         t0 = time.time()
         result = P.run_dedup(spark, pages, cfg)
         n_clusters = result["clusters"].select("cluster_id").distinct().count()

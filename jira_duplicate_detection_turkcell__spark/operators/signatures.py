@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.shingle import token_hashes, tokens, word_shingles_from_hashes
-from .minhash import _MERSENNE_P, _permutations
+from .minhash import _permutations
 
 # xxhash64/murmur-style avalanche constants for the vectorized gram mixer
 _PRIME_1 = np.uint64(0x9E3779B185EBCA87)
@@ -85,9 +85,9 @@ def fused_compute(num_perm: int = 128, seed: int = 7, with_simhash: bool = True)
                 hv = hv_buf[: flat.size]
                 rows = np.empty((num_perm, offsets.size), dtype=np.uint64)
                 for k in range(num_perm):
+                    # affine bijection mod 2^64 (odd a) — see minhash._permutations
                     np.multiply(a_params[k], flat, out=hv)
                     np.add(hv, b_params[k], out=hv)
-                    np.mod(hv, _MERSENNE_P, out=hv)
                     rows[k] = np.minimum.reduceat(hv, offsets)
                 sigs[nonempty] = rows.T.astype(np.int64, copy=False)
 
@@ -278,9 +278,9 @@ def text_sign_compute(
                 hv = np.empty(g.size, dtype=np.uint64)
                 out_rows = np.empty((num_perm, offsets.size), dtype=np.uint64)
                 for k in range(num_perm):
+                    # affine bijection mod 2^64 (odd a) — see minhash._permutations
                     np.multiply(a_params[k], g, out=hv)
                     np.add(hv, b_params[k], out=hv)
-                    np.mod(hv, _MERSENNE_P, out=hv)
                     out_rows[k] = np.minimum.reduceat(hv, offsets)
                 sigs[nonempty] = out_rows.T.astype(np.int64, copy=False)
 
