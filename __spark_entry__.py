@@ -194,6 +194,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", ts.langid_heuristic(F.col("text")).alias("lang_pred")
         )
 
+    def q_token_count_bpe(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id", ts.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens")
+        )
+
     def q_langid_confidence(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return docs.select("doc_id", *ts.langid_confidence_columns(F.col("text")))
@@ -493,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "langid": q_langid,
         "langid_confidence": q_langid_confidence,
+        "token_count_bpe": q_token_count_bpe,
         "doc_fingerprints": q_doc_fingerprints,
         "masking_stats": q_masking_stats,
         "lang_hist": q_lang_hist,
@@ -647,7 +654,14 @@ SELECT doc_id, CASE {_case} ELSE 'unknown' END AS lang_pred FROM b
 """
 
     from jira_duplicate_detection_turkcell__spark.functions.textstats import (
+        BPE_TOKEN_PATTERN,
         LANG_MARKERS_EXT,
+    )
+
+    _bpe_sql_pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    sql["token_count_bpe"] = (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        f"'{_bpe_sql_pat}')) AS BIGINT) AS n_bpe_tokens FROM documents"
     )
 
     _xhits = {

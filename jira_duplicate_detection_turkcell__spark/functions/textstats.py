@@ -123,6 +123,22 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(normalized.cast("binary"))
 
 
+# GPT-2-style pre-tokenizer regex, restricted to constructs Java regex and
+# RE2 interpret identically (\p{L}/\p{N} unicode classes, alternation, no
+# lookarounds) so the DuckDB oracle can run the same pattern verbatim.
+BPE_TOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate LLM-token count: matches of the GPT-2-ish pre-tokenizer
+    split pattern. The real byte-pair merge step needs a vocab (not in this
+    sandbox); the split count is the standard cheap proxy a training-data
+    pipeline budgets with."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
 def truncate_ellipsis(text: Column, max_chars: int = 200) -> Column:
     """F20: ``text[:N] + '...'`` when longer than N, else the text verbatim
     (reference hybrid_search.py:499)."""
