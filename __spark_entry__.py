@@ -135,7 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_simhash_hamming_pairs(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-        signed = simhash.add_simhash(docs, "text", "simhash")
+        signed = simhash.add_simhash_kernel(docs, "text", "doc_id", "simhash")
         chunks = simhash.explode_chunks(signed, "simhash", "doc_id")
         pairs, _hot = simhash.simhash_candidate_pairs(chunks, "doc_id", 100_000)
         return verify.hamming_edges(pairs, signed, 3, "doc_id", "simhash")

@@ -83,6 +83,51 @@ def add_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash")
     return df.withColumn(out_col, udf(token_hashes(F.col(text_col))))
 
 
+def add_simhash_kernel(
+    df: DataFrame, text_col: str = "text", key_col: str = "url", out_col: str = "simhash"
+) -> DataFrame:
+    """text → 64-bit simhash in ONE numpy mapInPandas pass.
+
+    Same construction as ``add_simhash`` but with tokenization + token
+    hashing in numpy/pandas (``pd.util.hash_array``) instead of the JVM
+    ``transform(split(...))`` higher-order expressions — those interpreted
+    array expressions were the round-1 profiled GC hotspot and keep the
+    simhash driver query the slowest headline entry. Hash family differs
+    from ``add_simhash`` (pandas hash vs xxhash64); both are valid simhash
+    token hashes — exactness is pinned by the brute-force Hamming pytest
+    over whichever values are in play.
+    """
+    from itertools import chain
+
+    from .signatures import _simhash_from_flat
+
+    bit_idx = np.arange(64, dtype=np.uint64)
+    key_t = df.schema[key_col].dataType.simpleString()
+
+    def compute(batch_iter):
+        for pdf in batch_iter:
+            texts = pdf[text_col].astype(object).fillna("")
+            n = len(pdf)
+            if n == 0:
+                continue
+            tok_lists = texts.str.split()
+            lengths = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+            flat_tokens = np.array(list(chain.from_iterable(tok_lists)), dtype=object)
+            th = (
+                pd.util.hash_array(flat_tokens, categorize=True).astype(
+                    np.uint64, copy=False
+                )
+                if flat_tokens.size
+                else np.empty(0, dtype=np.uint64)
+            )
+            sim = _simhash_from_flat(th, lengths, bit_idx)
+            yield pd.DataFrame({key_col: pdf[key_col].to_numpy(), out_col: sim})
+
+    return df.select(key_col, text_col).mapInPandas(
+        compute, f"{key_col} {key_t}, {out_col} long"
+    )
+
+
 def _chunk_expr(simhash_col: str, j: int) -> Column:
     return F.shiftrightunsigned(F.col(simhash_col), _CHUNK_OFFSETS[j]).bitwiseAND(
         F.lit((1 << _CHUNK_BITS[j]) - 1)

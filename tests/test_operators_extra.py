@@ -90,6 +90,26 @@ def test_cosine_pairs_vs_numpy(emb):
     assert got == truth
 
 
+def test_simhash_kernel_pairs_exact_vs_bruteforce(docs):
+    # the numpy text→simhash kernel + chunk-pair bucketing must be EXACT for
+    # Hamming ≤ 3 (pigeonhole over C(5,2) chunk-pair keys)
+    from jira_duplicate_detection_turkcell__spark.operators import simhash as sh
+    from jira_duplicate_detection_turkcell__spark.operators import verify
+
+    signed = sh.add_simhash_kernel(docs, "text", "doc_id", "simhash")
+    sims = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1) for r in signed.collect()}
+    truth = {
+        (a, b)
+        for a, b in combinations(sorted(sims), 2)
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    chunks = sh.explode_chunks(signed, "simhash", "doc_id")
+    pairs, _hot = sh.simhash_candidate_pairs(chunks, "doc_id", 100_000)
+    edges = verify.hamming_edges(pairs, signed, 3, "doc_id", "simhash")
+    got = {(r["key_l"], r["key_r"]) for r in edges.collect()}
+    assert got == truth
+
+
 def test_cosine_pairs_empty_and_guarded(emb, spark):
     empty = emb.filter("vec_id < 0")
     out = annsearch.cosine_pairs(empty, 0.45)
