@@ -30,9 +30,11 @@ AUDIT = {
         ("HashAggregate", "partial+final hash aggregation"),
         ("ReadSchema", "column pruning visible in scan"),
     ],
+    # Spark 4's formatted explain marks whole-stage codegen with
+    # "[codegen id : N]" on each fused operator, not a WholeStageCodegen node
     "minhash_lsh_pairs": [],
-    "token_stats": [("WholeStageCodegen", "expressions must stay in codegen")],
-    "feature_extract": [("WholeStageCodegen", "regex families must stay in codegen")],
+    "token_stats": [("codegen id :", "expressions must stay in codegen")],
+    "feature_extract": [("codegen id :", "regex families must stay in codegen")],
     "partition_pruned": [
         ("(lang", "lang filter must appear as a partition filter"),
         ("PartitionFilters: [isnotnull(lang", "scan must prune lang directories"),
