@@ -161,29 +161,30 @@ def hyperplane_lsh_pairs(
     vec_col: str = "embedding",
     max_bucket_size: int = 500,
 ) -> DataFrame:
-    """ANN pair search: hyperplane sketch buckets → join → exact verify."""
+    """ANN pair search: hyperplane sketch buckets → salted join → exact verify.
+
+    Hot buckets (a dense embedding mass — near-identical spam pages — lands
+    exactly where the duplicates are) are *salted* into bounded cells by the
+    shared generator (operators/buckets.py), never dropped: full candidate
+    recall at any skew, per-task work bounded by ``max_bucket_size``. Round 2
+    anti-joined hot buckets away, silently losing every pair whose only
+    collision was hot.
+    """
     sketch = sign_sketch_udf(n_tables, bits, dim, seed)
+    from .buckets import salted_bucket_pairs
+
     sk = embeddings.select(
         F.col(id_col), F.col(vec_col), sketch(F.col(vec_col)).alias("codes")
     )
     buckets = sk.select(
         F.col(id_col), F.posexplode(F.col("codes")).alias("table_id", "code")
     )
-    sizes = buckets.groupBy("table_id", "code").count()
-    hot = sizes.filter(F.col("count") > max_bucket_size)
-    cold = buckets.join(
-        F.broadcast(hot.select("table_id", "code")), ["table_id", "code"], "left_anti"
+    pairs, _hot = salted_bucket_pairs(
+        buckets, ["table_id", "code"], id_col, max_bucket_size
     )
-    cand = (
-        cold.select("table_id", "code", F.col(id_col).alias("id_l"))
-        .join(
-            cold.select("table_id", "code", F.col(id_col).alias("id_r")),
-            ["table_id", "code"],
-        )
-        .where(F.col("id_l") < F.col("id_r"))
-        .select("id_l", "id_r")
-        .distinct()
-    )
+    cand = pairs.select(
+        F.col("key_l").alias("id_l"), F.col("key_r").alias("id_r")
+    ).distinct()
     left = embeddings.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("v_l"))
     right = embeddings.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("v_r"))
     return (

@@ -94,6 +94,29 @@ def band_hash_expr(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def screen_sketch_expr(sig: Column, num_perm: int) -> Column:
+    """array<long>: low bit of each signature slot, 64 slots per long.
+
+    Same packing as signatures._screen_from_sigs (chunk c bit j =
+    sig[c*64+j] & 1) — the JVM fallback for signature tables not produced
+    by the fused kernel. A pair's fraction of agreeing low bits estimates
+    Jaccard as 2·obs − 1 (verify.screen_agreement): a slot agrees with
+    probability J, and a disagreeing slot's low bits still collide with
+    probability 1/2, so E[obs] = J + (1 − J)/2 = (1 + J)/2.
+    """
+    n_chunks = (num_perm + 63) // 64
+    return F.array(
+        *[
+            F.aggregate(
+                F.reverse(F.slice(sig, c * 64 + 1, min(64, num_perm - c * 64))),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(x.bitwiseAND(F.lit(1))),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+
+
 def explode_bands(
     df: DataFrame,
     sig_col: str = "minhash_sig",

@@ -297,6 +297,14 @@ def text_sign_compute(
                 bh = _fmix64((bh * _PRIME_1) ^ u[:, :, j])
             bh = bh.view(np.int64)
 
+            # ---- compact screen sketch: low bit of each signature slot,
+            # packed ceil(num_perm/64) longs per row (chunk c bit j =
+            # sig[c*64+j] & 1). Rides the fused bucket rows so the MinHash
+            # agreement screen runs INLINE on the pair join output — no
+            # blocking broadcast attach join (see plans/pipeline.fused_edges
+            # and operators/verify.screen_agreement for the estimator math).
+            scr = _screen_from_sigs(sigs, num_perm)
+
             # split points per row for the flat distinct gram vector
             starts = np.zeros(n, dtype=np.int64)
             starts[nonempty] = offsets
@@ -309,15 +317,29 @@ def text_sign_compute(
                     "minhash_sig": list(sigs),
                     "simhash": sim,
                     "band_hashes": list(bh),
+                    "screen": list(scr),
                 }
             )
 
     return compute
 
 
+def _screen_from_sigs(sigs: np.ndarray, num_perm: int) -> np.ndarray:
+    """(n, num_perm) int64 signatures → (n, ceil(num_perm/64)) packed low bits."""
+    n = sigs.shape[0]
+    n_chunks = (num_perm + 63) // 64
+    low = (sigs.view(np.uint64) & np.uint64(1)).astype(np.uint64)
+    scr = np.zeros((n, n_chunks), dtype=np.uint64)
+    for c in range(n_chunks):
+        width = min(64, num_perm - c * 64)
+        w = np.uint64(1) << np.arange(width, dtype=np.uint64)
+        scr[:, c] = (low[:, c * 64 : c * 64 + width] * w).sum(axis=1, dtype=np.uint64)
+    return scr.view(np.int64)
+
+
 SIGN_SCHEMA = (
     "url string, shingles array<long>, minhash_sig array<long>, "
-    "simhash long, band_hashes array<long>"
+    "simhash long, band_hashes array<long>, screen array<long>"
 )
 
 

@@ -18,6 +18,12 @@ from pyspark.sql import functions as F
 # screen miss probability ≈ 0.04%
 PREFILTER_MARGIN = 0.15
 
+# Margin for the compact low-bit screen (screen_agreement): its estimator
+# 2·obs − 1 has twice the binomial std (≤ 0.063 at k=128, J=0.7), so the
+# wider margin keeps per-pair miss probability ≈ 4e-5 (≈ 4σ) while random
+# pairs (J ≈ 0 ⇒ E[obs] = 0.5) still fail the cut astronomically hard.
+SCREEN_MARGIN = 0.25
+
 
 def attach_pair_columns(
     pairs: DataFrame,
@@ -48,6 +54,25 @@ def signature_agreement(sig_l: F.Column, sig_r: F.Column) -> F.Column:
         lambda acc, v: acc + v,
     )
     return agree.cast("double") / F.size(sig_l).cast("double")
+
+
+def screen_agreement(screen_l: F.Column, screen_r: F.Column, num_perm: int) -> F.Column:
+    """Jaccard estimate from two packed low-bit screen sketches.
+
+    obs = fraction of matching low bits; E[obs] = (1 + J)/2 (a signature
+    slot agrees w.p. J; a disagreeing slot's low bits collide w.p. 1/2), so
+    the unbiased estimate is 2·obs − 1. 16 bytes per doc at k=128 — cheap
+    enough to ride every bucket row as a carry column, which is what lets
+    the fused pipeline screen candidates INLINE on the self-join output
+    instead of through a blocking attach join (plans/pipeline.fused_edges).
+    """
+    xor_bits = F.aggregate(
+        F.zip_with(screen_l, screen_r, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    obs = (F.lit(num_perm) - xor_bits).cast("double") / F.lit(float(num_perm))
+    return F.lit(2.0) * obs - F.lit(1.0)
 
 
 def jaccard_edges(

@@ -182,13 +182,20 @@ def fused_edges(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
     parallelize). Fused plan: one bucket table
     ``(bkind, bid, bkey, url)`` unions the 32 LSH band hashes (bkind 0)
     and the 10 SimHash chunk-pair keys (bkind 1); ONE salted self-join
-    (operators/buckets.py) yields both candidate kinds. Each doc's 64-bit
-    simhash rides the bucket rows as a carry column, so Hamming
-    verification is *inline* on the join output — the simhash path needs
-    no attach join at all. MinHash candidates then run the two-stage
-    verify (compact signature screen, exact shingle-set Jaccard) off two
-    shared attach joins; simhash-verified rows pass through them
-    untouched. Output is the distinct verified edge list (key_l, key_r).
+    (operators/buckets.py) yields both candidate kinds.
+
+    BOTH screens run INLINE on the join output via per-kind carry columns:
+    each doc's 64-bit simhash rides its chunk rows (Hamming verification is
+    exact — those rows need no further checks), and a 16-byte low-bit
+    screen sketch of the MinHash signature (operators/signatures.
+    _screen_from_sigs) rides its band rows, so the MinHash agreement screen
+    (verify.screen_agreement) filters candidates before any join against
+    the signature table. Round 2 attached the full 1 KB signature through a
+    blocking broadcast attach join for that screen — a measured piece of
+    the serial floor that capped 2→8-core scaling at 0.754. Only screen
+    survivors pay the single remaining attach join (the fat shingle sets)
+    for exact Jaccard. Output is the distinct verified edge list
+    (key_l, key_r).
     """
     from ..operators.buckets import salted_bucket_pairs
 
@@ -198,6 +205,10 @@ def fused_edges(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
         band_arr = F.col("band_hashes")
     else:
         band_arr = minhash.band_hash_expr(F.col("minhash_sig"), cfg.bands, cfg.rows)
+    if "screen" in signed.columns:
+        screen_arr = F.col("screen")
+    else:
+        screen_arr = minhash.screen_sketch_expr(F.col("minhash_sig"), cfg.num_perm)
     structs = F.transform(
         band_arr,
         lambda h, i: F.struct(
@@ -214,10 +225,25 @@ def fused_edges(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
                 ),
             ),
         )
-    carry = ["simhash"] if with_sim else []
-    buckets = signed.select("url", *carry, F.explode(structs).alias("b")).select(
-        "b.bkind", "b.bid", "b.bkey", "url", *carry
+    # per-kind carries, nulled where unused (NULLs ship ~free through the
+    # shuffle): the simhash matters only on chunk rows, the screen sketch
+    # only on band rows
+    buckets = signed.select(
+        "url", F.explode(structs).alias("b"), screen_arr.alias("_scr"),
+        *(["simhash"] if with_sim else []),
+    ).select(
+        "b.bkind",
+        "b.bid",
+        "b.bkey",
+        "url",
+        F.when(F.col("b.bkind") == 0, F.col("_scr")).alias("screen"),
+        *(
+            [F.when(F.col("b.bkind") == 1, F.col("simhash")).alias("simhash")]
+            if with_sim
+            else []
+        ),
     )
+    carry = ["screen"] + (["simhash"] if with_sim else [])
     # one spreading granularity for both kinds — the cap no longer affects
     # recall (salting, not dropping), only per-cell work
     pairs, _hot = salted_bucket_pairs(
@@ -228,6 +254,8 @@ def fused_edges(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
         carry_cols=carry,
         out_bucket_cols=["bkind"],
     )
+    # inline verification/screening — NULL carries on the other kind make
+    # each predicate vacuously true there (true OR null = true)
     if with_sim:
         pairs = pairs.where(
             (F.col("bkind") == 0)
@@ -236,16 +264,12 @@ def fused_edges(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
                 <= cfg.hamming_max
             )
         )
-    cand = pairs.select("bkind", "key_l", "key_r").distinct()
-
-    screened = verify.attach_pair_columns(cand, signed, ["minhash_sig"], "url")
-    est = verify.signature_agreement(
-        F.col("minhash_sig_l"), F.col("minhash_sig_r")
-    )
-    survivors = screened.where(
+    est = verify.screen_agreement(F.col("screen_l"), F.col("screen_r"), cfg.num_perm)
+    pairs = pairs.where(
         (F.col("bkind") == 1)
-        | (est >= cfg.jaccard_threshold - verify.PREFILTER_MARGIN)
-    ).select("bkind", "key_l", "key_r")
+        | (est >= cfg.jaccard_threshold - verify.SCREEN_MARGIN)
+    )
+    survivors = pairs.select("bkind", "key_l", "key_r").distinct()
 
     fat = verify.attach_pair_columns(survivors, signed, ["shingles"], "url")
     inter = F.size(F.array_intersect(F.col("shingles_l"), F.col("shingles_r")))

@@ -134,6 +134,31 @@ def test_hyperplane_lsh_subset_of_bruteforce(emb):
         assert len(got) / len(brute) >= 0.9  # recall at tuned config
 
 
+def test_hyperplane_lsh_dense_mass_salted_not_dropped(spark):
+    # a dense embedding mass (near-identical spam pages) lands in ONE bucket
+    # per table; with cap ≪ N every bucket runs salted — and every true pair
+    # must still come out (round 2 anti-joined hot buckets away, losing all
+    # of them)
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64)
+    base /= np.linalg.norm(base)
+    n = 60
+    rows = [
+        (i, (base + 0.01 * rng.standard_normal(64)).astype(float).tolist())
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_l"], r["id_r"])
+        for r in annsearch.hyperplane_lsh_pairs(
+            emb, 0.99, n_tables=8, bits=16, dim=64, max_bucket_size=10
+        ).collect()
+    }
+    brute = {(r["id_l"], r["id_r"]) for r in annsearch.cosine_pairs(emb, 0.99).collect()}
+    assert len(brute) >= n * (n - 1) // 4  # the mass really is dense
+    assert got == brute  # salting loses nothing; verification is exact
+
+
 def test_token_stats_vs_python(docs):
     got = {r["doc_id"]: r for r in docs.select("doc_id", *ts.quality_columns(F.col("text"))).collect()}
     for r in docs.collect():
