@@ -199,6 +199,28 @@ def fused_edges(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
     """
     from ..operators.buckets import salted_bucket_pairs
 
+    buckets, carry = fused_bucket_table(signed, cfg)
+    # one spreading granularity for both kinds — the cap no longer affects
+    # recall (salting, not dropping), only per-cell work
+    pairs, _hot = salted_bucket_pairs(
+        buckets,
+        ["bkind", "bid", "bkey"],
+        "url",
+        cfg.minhash_bucket_cap,
+        carry_cols=carry,
+        out_bucket_cols=["bkind"],
+    )
+    return verify_fused_pairs(pairs, signed, cfg)
+
+
+def fused_bucket_table(signed: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, list[str]]:
+    """signed → (bucket table (bkind, bid, bkey, url, carries…), carry cols).
+
+    bkind 0 rows are the LSH band hashes, bkind 1 rows the SimHash
+    chunk-pair keys. Per-kind carries are nulled where unused (NULLs ship
+    ~free through the shuffle): the simhash matters only on chunk rows, the
+    screen sketch only on band rows.
+    """
     with_sim = cfg.enable_simhash and "simhash" in signed.columns
 
     if "band_hashes" in signed.columns:
@@ -225,9 +247,6 @@ def fused_edges(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
                 ),
             ),
         )
-    # per-kind carries, nulled where unused (NULLs ship ~free through the
-    # shuffle): the simhash matters only on chunk rows, the screen sketch
-    # only on band rows
     buckets = signed.select(
         "url", F.explode(structs).alias("b"), screen_arr.alias("_scr"),
         *(["simhash"] if with_sim else []),
@@ -243,19 +262,22 @@ def fused_edges(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
             else []
         ),
     )
-    carry = ["screen"] + (["simhash"] if with_sim else [])
-    # one spreading granularity for both kinds — the cap no longer affects
-    # recall (salting, not dropping), only per-cell work
-    pairs, _hot = salted_bucket_pairs(
-        buckets,
-        ["bkind", "bid", "bkey"],
-        "url",
-        cfg.minhash_bucket_cap,
-        carry_cols=carry,
-        out_bucket_cols=["bkind"],
-    )
-    # inline verification/screening — NULL carries on the other kind make
-    # each predicate vacuously true there (true OR null = true)
+    return buckets, ["screen"] + (["simhash"] if with_sim else [])
+
+
+def verify_fused_pairs(
+    pairs: DataFrame, signed: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Carry-bearing candidate pairs → distinct verified edges (key_l, key_r).
+
+    Inline verification/screening on the pair rows themselves — NULL
+    carries on the other kind make each predicate vacuously true there
+    (true OR null = true). SimHash rows are verified EXACTLY inline
+    (64-bit Hamming on the carried signatures); MinHash rows pass the
+    low-bit screen inline, and only survivors pay the single attach join
+    (the fat shingle sets, against ``signed``) for exact Jaccard.
+    """
+    with_sim = cfg.enable_simhash and "simhash_l" in pairs.columns
     if with_sim:
         pairs = pairs.where(
             (F.col("bkind") == 0)

@@ -72,21 +72,76 @@ def test_streaming_signatures_match_batch(spark, tmp_path):
     assert got == expected
 
 
-def test_incremental_append_equals_full_rerun(spark):
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        # simhash ON (round 2 only maintained the MinHash kind) + caps high
+        CFG,
+        # caps of 2: every bucket trips the cap, the whole append runs
+        # through salted bipartite cells — results must be identical
+        P.DedupConfig(minhash_bucket_cap=2, simhash_bucket_cap=2),
+    ],
+    ids=["simhash_on", "hot_buckets_salted"],
+)
+def test_incremental_append_equals_full_rerun(spark, cfg):
     """Split the corpus; batch 1 + incremental batch 2 must equal one full run."""
     pdf = synth.generate_pages_pdf(96, seed=42)
     pages_all = spark.createDataFrame(pdf)
     pages_1 = spark.createDataFrame(pdf.iloc[:64])
     pages_2 = spark.createDataFrame(pdf.iloc[64:])
 
-    full = P.run_dedup(spark, pages_all, CFG)
+    full = P.run_dedup(spark, pages_all, cfg)
     full_assign = {r["url"]: r["cluster_id"] for r in full["clusters"].collect()}
+    full_edges = {(r["key_l"], r["key_r"]) for r in full["edges"].collect()}
 
-    base = P.run_dedup(spark, pages_1, CFG)
-    upd = incremental.apply_append(base["signatures"], base["edges"], pages_2, CFG)
+    base = P.run_dedup(spark, pages_1, cfg)
+    upd = incremental.apply_append(base["signatures"], base["edges"], pages_2, cfg)
     inc_assign = {r["url"]: r["cluster_id"] for r in upd["clusters"].collect()}
+    inc_edges = {(r["key_l"], r["key_r"]) for r in upd["edges"].collect()}
 
+    assert inc_edges == full_edges  # every enabled edge kind, no cap drops
     assert inc_assign == full_assign
+
+
+def test_incremental_rejects_substring_kind(spark):
+    pdf = synth.generate_pages_pdf(16, seed=42)
+    cfg = P.DedupConfig(enable_substring=True)
+    base = P.run_dedup(spark, spark.createDataFrame(pdf.iloc[:8]), P.DedupConfig())
+    with pytest.raises(ValueError, match="substring"):
+        incremental.apply_append(
+            base["signatures"], base["edges"], spark.createDataFrame(pdf.iloc[8:]), cfg
+        )
+
+
+def test_salted_bipartite_pairs_identical_to_plain_join(spark):
+    # planted hot bucket: 40 'all' members (8 of them new) in one bucket +
+    # cold buckets; cap=5 salts both sides — pair set must equal the plain
+    # bipartite join's
+    from jira_duplicate_detection_turkcell__spark.operators.buckets import (
+        salted_bipartite_pairs,
+    )
+
+    all_rows = [(0, 99, f"d{i:03d}") for i in range(40)]
+    all_rows += [(1, 7, f"d{i:03d}") for i in range(6)]
+    new_rows = [r for r in all_rows if r[2] >= "d032"] + [(1, 7, "d001")]
+    schema = "bid int, bkey long, url string"
+    all_df = spark.createDataFrame(all_rows, schema)
+    new_df = spark.createDataFrame(new_rows, schema)
+
+    got_pairs, hot = salted_bipartite_pairs(
+        new_df, all_df, ["bid", "bkey"], "url", cap=5
+    )
+    got = {(r["key_l"], r["key_r"]) for r in got_pairs.collect()}
+
+    plain = (
+        new_df.selectExpr("bid", "bkey", "url AS a")
+        .join(all_df.selectExpr("bid", "bkey", "url AS b"), ["bid", "bkey"])
+        .where("a <> b")
+        .selectExpr("least(a, b) AS key_l", "greatest(a, b) AS key_r")
+    )
+    want = {(r["key_l"], r["key_r"]) for r in plain.collect()}
+    assert hot.count() > 0
+    assert got == want
 
 
 def test_cli_dedup_in_process(spark, tmp_path):
