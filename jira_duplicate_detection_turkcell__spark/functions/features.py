@@ -8,13 +8,20 @@ with severity values normalized through a fixed map (:55-60, :96-98), and a
 sampled hit-rate estimator (suggest_extractions, :153-181) that counts
 matches on a bounded sample and extrapolates to the full table.
 
-Spark-side: each family compiles to one codegen expression —
-``coalesce(nullif(trim(regexp_extract(p1)), ''), nullif(..., ''), …)`` —
+Spark-side: each family compiles to one codegen expression — a chained
+``CASE WHEN rlike(p1) THEN trim(regexp_extract(p1)) WHEN rlike(p2) …`` —
 so a 6-family extraction over any corpus size is a single whole-stage-
-codegen projection: no UDFs, no Python, shuffles nothing. The severity
-normalization is a chained CASE. Pattern semantics note: the reference
-matches with re.IGNORECASE; the default families below carry an inline
-``(?i)`` to mirror that.
+codegen projection: no UDFs, no Python, shuffles nothing. The CASE gates
+on *pattern match*, not on a non-empty capture, replicating the
+reference's stop-on-first-match exactly: a matching pattern whose
+group(1).strip() is '' returns '' and stops (a coalesce-of-nullif
+fell through to later patterns there). The severity normalization is a
+chained CASE. Pattern semantics note: the reference matches with Python's
+re.IGNORECASE (Unicode case folding and word classes); the default
+families below carry an inline ``(?iU)`` — Java's CASE_INSENSITIVE +
+UNICODE_CHARACTER_CLASS (which implies UNICODE_CASE) — so Turkish-letter
+alternatives (yüksek, düşük, çalışmıyor) fold case like the reference
+(plain ``(?i)`` is ASCII-only in Java).
 """
 
 from __future__ import annotations
@@ -26,36 +33,36 @@ from pyspark.sql import functions as F
 # verbatim in intent; first match wins, group(1) is the value.
 REFERENCE_FAMILIES: dict[str, list[str]] = {
     "application": [
-        r"(?i)\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)\s+(?:uygulaması|application|app)",
-        r"(?i)(?:uygulama|app):\s*([A-Za-z0-9\s]+)",
-        r"(?i)\b(BiP|Whatsapp|Instagram|Facebook|Twitter|Gmail|YouTube)\b",
-        r"(?i)\b([A-Z][a-z]{2,})\s+(?:çalışmıyor|açılmıyor|donuyor)",
+        r"(?iU)\b([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)\s+(?:uygulaması|application|app)",
+        r"(?iU)(?:uygulama|app):\s*([A-Za-z0-9\s]+)",
+        r"(?iU)\b(BiP|Whatsapp|Instagram|Facebook|Twitter|Gmail|YouTube)\b",
+        r"(?iU)\b([A-Z][a-z]{2,})\s+(?:çalışmıyor|açılmıyor|donuyor)",
     ],
     "platform": [
-        r"(?i)\b(iOS|Android|Windows|macOS|Linux|Web)\b",
-        r"(?i)\b(iPhone|iPad|Samsung|Huawei)\b",
+        r"(?iU)\b(iOS|Android|Windows|macOS|Linux|Web)\b",
+        r"(?iU)\b(iPhone|iPad|Samsung|Huawei)\b",
     ],
     "version": [
-        r"(?i)(?:version|versiyon|v\.?)\s*:?\s*(\d+(?:\.\d+)*)",
-        r"(?i)\b(\d+\.\d+(?:\.\d+)?)\b",
-        r"(?i)iOS\s+(\d+(?:\.\d+)*)",
-        r"(?i)Android\s+(\d+(?:\.\d+)*)",
+        r"(?iU)(?:version|versiyon|v\.?)\s*:?\s*(\d+(?:\.\d+)*)",
+        r"(?iU)\b(\d+\.\d+(?:\.\d+)?)\b",
+        r"(?iU)iOS\s+(\d+(?:\.\d+)*)",
+        r"(?iU)Android\s+(\d+(?:\.\d+)*)",
     ],
     "device": [
-        r"(?i)\b(iPhone\s+\d+(?:\s+Pro)?(?:\s+Max)?)\b",
-        r"(?i)\b(iPad(?:\s+Pro)?(?:\s+Air)?)\b",
-        r"(?i)\b(Samsung\s+Galaxy\s+[A-Z]\d+)\b",
-        r"(?i)\b(Huawei\s+[A-Z0-9]+)\b",
+        r"(?iU)\b(iPhone\s+\d+(?:\s+Pro)?(?:\s+Max)?)\b",
+        r"(?iU)\b(iPad(?:\s+Pro)?(?:\s+Air)?)\b",
+        r"(?iU)\b(Samsung\s+Galaxy\s+[A-Z]\d+)\b",
+        r"(?iU)\b(Huawei\s+[A-Z0-9]+)\b",
     ],
     "severity": [
-        r"(?i)\b(critical|kritik|acil|urgent)\b",
-        r"(?i)\b(high|yüksek|önemli)\b",
-        r"(?i)\b(medium|orta|normal)\b",
-        r"(?i)\b(low|düşük|minor)\b",
+        r"(?iU)\b(critical|kritik|acil|urgent)\b",
+        r"(?iU)\b(high|yüksek|önemli)\b",
+        r"(?iU)\b(medium|orta|normal)\b",
+        r"(?iU)\b(low|düşük|minor)\b",
     ],
     "component": [
-        r"(?i)(?:component|bileşen|modül):\s*([A-Za-z0-9\s]+)",
-        r"(?i)\b(Login|Register|Payment|Checkout|Search|Profile)\b",
+        r"(?iU)(?:component|bileşen|modül):\s*([A-Za-z0-9\s]+)",
+        r"(?iU)\b(Login|Register|Payment|Checkout|Search|Profile)\b",
     ],
 }
 
@@ -70,15 +77,23 @@ SEVERITY_MAP: dict[str, str] = {
 
 
 def extract_family(text: Column, patterns: list[str]) -> Column:
-    """First-match-wins extraction over a prioritized pattern list.
+    """First-MATCH-wins extraction over a prioritized pattern list.
 
-    NULL when no pattern matches (the reference returns None); matched
-    values are trimmed (the reference calls .strip()).
+    NULL when no pattern matches (the reference returns None); the first
+    matching pattern's group(1) is trimmed and returned *even when empty*
+    (the reference returns match.group(1).strip() and stops —
+    src/text_feature_extractor.py:79-88), so the gate is ``rlike``, not a
+    non-empty capture: 'app:\\n\\n!!!' yields '' here, never a later
+    pattern's value.
     """
-    attempts = [
-        F.nullif(F.trim(F.regexp_extract(text, p, 1)), F.lit("")) for p in patterns
-    ]
-    return F.coalesce(*attempts) if len(attempts) > 1 else attempts[0]
+    expr = None
+    for p in patterns:
+        cond = text.rlike(p)
+        # Python's .strip() removes ALL (unicode) whitespace; SQL trim()
+        # removes only spaces — '\n' captures diverged under trim
+        val = F.regexp_replace(F.regexp_extract(text, p, 1), r"(?U)^\s+|\s+$", "")
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return expr
 
 
 def normalize_severity(value: Column, mapping: dict[str, str] | None = None) -> Column:

@@ -40,9 +40,24 @@ def _single_task_components(edges: DataFrame) -> DataFrame:
     key_type = edges.schema["key_l"].dataType.simpleString()
 
     def resolve(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parent: dict = {}
+        # keys are interned to dense ints up front: the union-find state is
+        # then two flat int lists instead of a dict keyed by (url) strings —
+        # ~10× less Python object overhead per node, which is what bounds
+        # this single task's memory at the small_graph_edges gate
+        idx: dict = {}
+        keys: list = []
+        parent: list[int] = []
 
-        def find(x):
+        def intern(k) -> int:
+            i = idx.get(k)
+            if i is None:
+                i = len(keys)
+                idx[k] = i
+                keys.append(k)
+                parent.append(i)
+            return i
+
+        def find(x: int) -> int:
             root = x
             while parent[root] != root:
                 root = parent[root]
@@ -52,20 +67,15 @@ def _single_task_components(edges: DataFrame) -> DataFrame:
 
         for pdf in batch_iter:
             for a, b in zip(pdf["key_l"], pdf["key_r"]):
-                if a not in parent:
-                    parent[a] = a
-                if b not in parent:
-                    parent[b] = b
-                ra, rb = find(a), find(b)
+                ra, rb = find(intern(a)), find(intern(b))
                 if ra != rb:
-                    # union by min keeps the canonical (min) key at the root
-                    if rb < ra:
+                    # union by min KEY keeps the canonical (min) key at the root
+                    if keys[rb] < keys[ra]:
                         ra, rb = rb, ra
                     parent[rb] = ra
-        if parent:
-            nodes_out = list(parent)
+        if keys:
             yield pd.DataFrame(
-                {"node": nodes_out, "cluster_id": [find(x) for x in nodes_out]}
+                {"node": keys, "cluster_id": [keys[find(i)] for i in range(len(keys))]}
             )
 
     return (
@@ -83,7 +93,9 @@ def connected_components(
     nodes_unique: bool = False,
     edges_unique: bool = False,
     hops_per_round: int = 2,
-    small_graph_edges: int = 5_000_000,
+    small_graph_edges: int = 2_000_000,
+    edge_count: int | None = None,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """edges(key_l, key_r) + nodes(key) → (key, cluster_id) for every node.
 
@@ -93,21 +105,37 @@ def connected_components(
     defensive distinct shuffle. Pass ``edges_unique=True`` when the edge
     list is distinct with key_l < key_r — then the two-direction union is
     duplicate-free by construction and the symmetrize distinct (a full
-    shuffle) is skipped.
+    shuffle) is skipped. Pass ``edge_count`` when the caller already
+    materialized + counted the edge list (the pipeline's edge stage does)
+    to skip the gate's extra count job — a lazy edge plan would otherwise
+    execute its whole subtree twice.
 
     Hybrid execution: the verified-duplicate edge list is orders of
     magnitude smaller than the corpus (only near-duplicate pairs survive
-    verification). When it fits ONE task (≤ ``small_graph_edges``; ~32
-    bytes/edge ⇒ the default is ~160 MB in a single executor task), the
+    verification). When it fits ONE task (≤ ``small_graph_edges``), the
     fixpoint loop is replaced by a single-task union-find over a
     ``coalesce(1)`` + ``mapInPandas`` — an executor-side Spark task, not a
     driver loop — because at that size the iterative path is pure
     orchestration latency (measured: 10 label-propagation rounds ≈ 8-10 s
-    for a 22k-edge graph whose union-find takes milliseconds). Larger edge
-    lists take the distributed label-propagation path unchanged. Set
-    ``small_graph_edges=0`` to force the iterative path.
+    for a 22k-edge graph whose union-find takes milliseconds). The default
+    gate is sized for the task's PYTHON footprint, not the raw edge bytes:
+    with interned keys the union-find state is two int lists plus one
+    Python string per distinct node (~100-150 B each incl. the intern
+    dict), so 2M edges ≈ a few hundred MB worst-case in one worker —
+    comfortable under the executor memory here, conservative on a real
+    cluster. Larger edge lists take the distributed label-propagation path
+    unchanged. Set ``small_graph_edges=0`` to force the iterative path.
+
+    The distributed fixpoint RAISES if it has not converged within
+    ``max_iter`` rounds (``on_nonconverged="warn"`` downgrades to a
+    stderr warning) — a silently-unconverged label table would emit one
+    component as several clusters. Diameters that large (million-hop
+    chains) want a large-star/small-star variant; realistic near-dup
+    graphs converge in a handful of rounds.
     """
-    if small_graph_edges and edges.count() <= small_graph_edges:
+    if edge_count is None and small_graph_edges:
+        edge_count = edges.count()
+    if small_graph_edges and edge_count <= small_graph_edges:
         assigned = _single_task_components(edges)
         base = nodes.select(key_col)
         if not nodes_unique:
@@ -168,6 +196,7 @@ def connected_components(
     # jump self-join re-executes the evolving subtree per jump, and with
     # graph diameter ≪ 100 the round count saved does not pay for it.
     # Adversarial million-hop chains would want large-star/small-star.)
+    converged = False
     for _ in range(max_iter):
         stepped = hop(labels)
         for _extra in range(hops_per_round - 1):
@@ -178,7 +207,22 @@ def connected_components(
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components: label propagation did not converge in "
+            f"{max_iter} rounds × {hops_per_round} hops — graph diameter "
+            f"exceeds {max_iter * hops_per_round}; raise max_iter/"
+            f"hops_per_round (or use a large-star/small-star variant for "
+            f"adversarial chain graphs)"
+        )
+        if on_nonconverged == "warn":
+            import sys
+
+            print(f"WARNING: {msg}", file=sys.stderr, flush=True)
+        else:
+            raise RuntimeError(msg)
 
     assigned = labels.select(
         F.col("node").alias(key_col), F.col("label").alias("cluster_id")

@@ -190,35 +190,67 @@ def substring_edges(
 ) -> DataFrame:
     """Verified exact-shared-substring edges (key_l, key_r, span_len).
 
-    Plan: the fingerprint join nominates candidate pairs; candidates are
-    grouped into *connected components* of the candidate graph, each doc's
-    text is shipped ONCE into its group, and one suffix array per group
-    verifies every pair in it (`_group_spans` run-scan — exact for the
-    whole group). Round 1 verified per pair, replicating a doc in k
-    candidate pairs k times through the shuffle — on boilerplate-heavy
-    crawls (clique-shaped candidate graphs) that is quadratic text volume;
-    grouping makes it linear. Components larger than ``max_group_docs``
-    (text volume would not fit one task) fall back to pairwise
-    verification for exactly their pairs — same results, bounded memory.
+    Plan: the fingerprint table nominates candidate GROUPS (connected
+    components of the share-a-fingerprint relation), each doc's text is
+    shipped ONCE into its group, and one suffix array per group verifies
+    every pair in it (`_group_spans` run-scan — exact for the whole group).
+    Components larger than ``max_group_docs`` (text volume would not fit
+    one task) fall back to pairwise verification for exactly their
+    candidate pairs — same results, bounded memory.
+
+    Grouping is built from linear STAR EDGES, not pairwise co-occurrence:
+    every fingerprint contributes (min member → member) edges, whose
+    connected components are identical to the candidate pair graph's (two
+    docs sharing a fingerprint are both adjacent to that fingerprint's
+    representative) at O(Σ postings) rows instead of O(Σ postings²). With
+    ``sample == 1`` (default) the group SA's output IS the exact
+    docs-sharing-an-L-gram relation — any two docs sharing an L-char run
+    share that L-gram's fingerprint and land in one group — so no
+    candidate-pair restriction is needed. With ``sample > 1`` fingerprints
+    under-nominate by design (recall contract in the module docstring) and
+    the output is restricted to nominated pairs, preserving round-2
+    semantics. ``span_len`` is a guaranteed shared-substring length — the
+    max over SA runs of the run-min LCP, ≥ min_len but NOT necessarily the
+    pair's longest common substring (changed from the round-1 per-pair
+    adjacent-LCP max).
     """
     from .components import connected_components
 
-    pairs, _hot = fingerprint_candidate_pairs(
-        docs, text_col, key_col, min_len, sample, max_bucket_size
-    )
-    pairs = pairs.persist()
+    slim = docs.select(F.col(key_col), F.col(text_col))
+
+    if sample <= 1:
+        fps = docs.select(
+            F.col(key_col),
+            F.explode(fingerprints(F.col(text_col), min_len, 1)).alias("fp"),
+        ).distinct().persist()
+        reps = fps.groupBy("fp").agg(
+            F.min(key_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
+        )
+        star = (
+            fps.join(reps.where(F.col("_n") > 1), "fp")
+            .where(F.col(key_col) != F.col("_rep"))
+            .select(F.col("_rep").alias("key_l"), F.col(key_col).alias("key_r"))
+            .distinct()
+        )
+        pairs = None  # groups are exact; no per-pair nomination needed
+        grouping_edges = star.persist()
+    else:
+        pairs, _hot = fingerprint_candidate_pairs(
+            docs, text_col, key_col, min_len, sample, max_bucket_size
+        )
+        pairs = pairs.persist()
+        grouping_edges = pairs
+
     nodes = (
-        pairs.select(F.col("key_l").alias(key_col))
-        .union(pairs.select(F.col("key_r").alias(key_col)))
+        grouping_edges.select(F.col("key_l").alias(key_col))
+        .union(grouping_edges.select(F.col("key_r").alias(key_col)))
         .distinct()
     )
     comp = connected_components(
-        pairs, nodes, key_col, nodes_unique=True, edges_unique=True
+        grouping_edges, nodes, key_col, nodes_unique=True, edges_unique=True
     )
     gsizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_gsz"))
     comp = comp.join(gsizes, "cluster_id").persist()
-
-    slim = docs.select(F.col(key_col), F.col(text_col))
 
     # ---- small components: one SA per group, each text shipped once
     small = (
@@ -233,16 +265,36 @@ def substring_edges(
     small_edges = small.groupBy("cluster_id").applyInPandas(
         verify_group, "key_l string, key_r string, span_len long"
     )
-    # the group SA emits every pair sharing an L-gram — including pairs the
-    # fingerprint join never nominated (transitive group members). Keep the
-    # candidate-pair contract: restrict to nominated pairs.
-    small_edges = small_edges.join(pairs, ["key_l", "key_r"], "left_semi")
+    if pairs is not None:
+        # sampled fingerprints: the group SA emits every pair sharing an
+        # L-gram, including pairs the sampled join never nominated — keep
+        # the candidate-pair contract by restricting to nominated pairs
+        small_edges = small_edges.join(pairs, ["key_l", "key_r"], "left_semi")
 
     # ---- oversized components: per-pair verification (bounded memory)
     big_keys = comp.filter(F.col("_gsz") > max_group_docs).select(
-        F.col(key_col).alias("key_l")
+        F.col(key_col).alias("_bigk")
     )
-    big_pairs = pairs.join(F.broadcast(big_keys), "key_l", "left_semi")
+    if pairs is not None:
+        big_pairs = pairs.join(
+            F.broadcast(big_keys.withColumnRenamed("_bigk", "key_l")),
+            "key_l",
+            "left_semi",
+        )
+    else:
+        # nominate pairs only inside oversized components — the salted
+        # intra-bucket join over exactly those members' fingerprints
+        from .buckets import salted_bucket_pairs
+
+        fps_big = fps.join(
+            F.broadcast(big_keys.withColumnRenamed("_bigk", key_col)),
+            key_col,
+            "left_semi",
+        )
+        big_pairs, _bh = salted_bucket_pairs(
+            fps_big, ["fp"], key_col, max_bucket_size
+        )
+        big_pairs = big_pairs.distinct()
     left = slim.select(F.col(key_col).alias("key_l"), F.col(text_col).alias("text_l"))
     right = slim.select(F.col(key_col).alias("key_r"), F.col(text_col).alias("text_r"))
     cand = big_pairs.join(left, "key_l").join(right, "key_r")

@@ -329,6 +329,7 @@ def run_dedup(
         store.config_fingerprint = cfg.fingerprint()
 
     verbose = bool(os.environ.get("SPARK_GRAFT_TIMING"))
+    stage_counts: dict[str, int] = {}
 
     def clocked(name: str, fn):
         t0 = time.time()
@@ -345,7 +346,7 @@ def run_dedup(
             # keeps the columnar cache format — profiling showed localCheckpoint
             # row-serialization dominated the whole pipeline on wide stages.
             df = build().persist()
-            clocked(name, df.count)
+            stage_counts[name] = clocked(name, df.count)
             return df
         if store.is_committed(name):
             return store.load(spark, name)
@@ -444,8 +445,10 @@ def run_dedup(
             nodes,
             "url",
             nodes_unique=True,
-            # the edge stage above persisted + counted the distinct l<r list
+            # the edge stage above persisted + counted the distinct l<r list —
+            # hand the count over so the hybrid gate runs zero extra jobs
             edges_unique=True,
+            edge_count=stage_counts["edges"],
         ),
     )
     return {"docs": docs, "signatures": signed, "edges": edges, "clusters": clusters}

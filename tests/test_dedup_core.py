@@ -80,7 +80,8 @@ def test_simhash_pairs_exact_for_small_hamming(signed):
     truth = bf.bruteforce_hamming_pairs(sims, CFG.hamming_max)
     edges, _hot = P.simhash_edges(signed, CFG)
     found = {(r["key_l"], r["key_r"]) for r in edges.collect()}
-    # pigeonhole bucketing is exhaustive for d<=3 over 4 chunks → equality
+    # pigeonhole bucketing is exhaustive for d<=3 over the C(5,2)=10
+    # chunk-pair keys (≤3 dirty chunks ⇒ ≥2 clean ⇒ ≥1 clean pair) → equality
     assert found == truth
 
 
@@ -107,6 +108,25 @@ def test_substring_group_verification_emits_transitive_pairs(spark):
     ]
     docs = spark.createDataFrame(rows, "url string, text string")
     edges = suffix.substring_edges(docs, "text", "url", min_len=48)
+    got = {(r["key_l"], r["key_r"]) for r in edges.collect()}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_substring_oversized_component_fallback_same_pairs(spark):
+    # force the 3-doc shared-run component over max_group_docs: the
+    # pairwise fallback must nominate (via the salted fp join over exactly
+    # the big component's members) and verify the same three pairs
+    from jira_duplicate_detection_turkcell__spark.operators import suffix
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        ("a", f"alpha prefix {shared} alpha suffix"),
+        ("b", f"beta prelude {shared} beta coda"),
+        ("c", f"gamma start {shared} gamma end"),
+        ("d", "unrelated content with no long runs shared with anyone else here"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    edges = suffix.substring_edges(docs, "text", "url", min_len=48, max_group_docs=2)
     got = {(r["key_l"], r["key_r"]) for r in edges.collect()}
     assert got == {("a", "b"), ("a", "c"), ("b", "c")}
 
@@ -149,6 +169,25 @@ def test_connected_components_chain(spark, small_gate):
         edges, nodes, small_graph_edges=small_gate
     ).collect()
     assert {r["cluster_id"] for r in got} == {"n00"}
+
+
+def test_connected_components_nonconvergence_detected(spark):
+    # a 100-hop chain on the distributed path with hops_per_round=1 and a
+    # small max_iter must RAISE (silent non-convergence splits a component
+    # into several clusters); with enough rounds the same graph converges
+    keys = [f"n{i:03d}" for i in range(101)]
+    nodes = spark.createDataFrame([(k,) for k in keys], "url string")
+    edges = spark.createDataFrame(
+        list(zip(keys, keys[1:])), "key_l string, key_r string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        components.connected_components(
+            edges, nodes, small_graph_edges=0, hops_per_round=1, max_iter=5
+        ).collect()
+    got = components.connected_components(
+        edges, nodes, small_graph_edges=0, hops_per_round=4, max_iter=30
+    ).collect()
+    assert {r["cluster_id"] for r in got} == {"n000"}
 
 
 def test_pipeline_end_to_end_recall(spark, pages, texts):

@@ -26,6 +26,12 @@ TEXTS = [
     "nothing interesting here at all",
     "",
     "urgent! Instagram donuyor, versiyon 7.7.7 Huawei P30",
+    # whitespace-only group(1): the FIRST matching pattern must win with ''
+    # (stop-on-first-match), not fall through to a later pattern
+    "app:\n\n!!! medium Checkout",
+    # Turkish letters in UPPERCASE: needs Unicode case folding, (?i) alone
+    # is ASCII-only in Java regex
+    "sorun ÇOK YÜKSEK öncelikli, DÜŞÜK değil",
 ]
 FAMILIES = ["application", "platform", "version", "device", "severity", "component"]
 
@@ -67,6 +73,71 @@ def test_sampled_hit_rate_extrapolation(spark):
     assert out["n_total"] == 40 and out["n_sample"] == 10
     # first 10 rows by doc_id → 5 hits → est = floor(5 * 40 / 10) = 20
     assert out["est_version"] == 20
+
+
+def test_version_triple_reference_zero_padding(spark):
+    # oracle values hand-derived from the reference _normalize_version
+    # (hybrid_search.py:254-262): every digit run is a component, first
+    # three taken, zero-padded
+    from jira_duplicate_detection_turkcell__spark.functions.versions import (
+        version_triple,
+    )
+
+    cases = {
+        "1.2.3": (1, 2, 3),
+        "1.2": (1, 2, 0),
+        "7": (7, 0, 0),
+        "v1.2.3-beta4": (1, 2, 3),
+        "iOS 14.5": (14, 5, 0),
+        "": (0, 0, 0),
+        "N/A": (0, 0, 0),
+        None: (0, 0, 0),
+        "no digits at all": (0, 0, 0),
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cases)], "id long, v string"
+    )
+    got = {
+        r["id"]: (r["t"]["maj"], r["t"]["mnr"], r["t"]["pat"])
+        for r in df.select("id", version_triple(F.col("v")).alias("t")).collect()
+    }
+    for i, v in enumerate(cases):
+        assert got[i] == cases[v], f"{v!r}: {got[i]} != {cases[v]}"
+
+
+def test_version_similarity_reference_branches(spark):
+    # oracle values hand-derived from _calculate_version_similarity
+    # (hybrid_search.py:264-289): exact → 1.0; (maj, mnr) match →
+    # 0.9 − 0.05·patch_diff (UNclamped); maj match → 0.7 − 0.1·minor_diff;
+    # maj mismatch or maj == 0 → 0.0; ''/'N/A' either side → 0.0 pre-parse
+    from jira_duplicate_detection_turkcell__spark.functions.versions import (
+        version_similarity,
+    )
+
+    cases = [
+        ("1.2.3", "1.2.3", 1.0),
+        ("1.2.3", "1.2.5", 0.8),
+        ("1.2.3", "1.2.33", 0.9 - 0.05 * 30),  # unclamped, goes negative
+        ("1.2.3", "1.5.0", 0.4),
+        ("1.2.3", "2.2.3", 0.0),
+        ("0.2.3", "0.5.0", 0.0),  # equal majors but 0 → mismatch branch
+        ("0", "0.0", 1.0),  # both parse to (0,0,0) → exact-match branch
+        ("", "1.2.3", 0.0),
+        ("N/A", "N/A", 0.0),
+        ("1.2", "1.2.0", 1.0),  # zero padding
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b, _) in enumerate(cases)],
+        "id long, a string, b string",
+    )
+    got = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", version_similarity(F.col("a"), F.col("b")).alias("s")
+        ).collect()
+    }
+    for i, (a, b, want) in enumerate(cases):
+        assert abs(got[i] - want) < 1e-9, f"{a!r} vs {b!r}: {got[i]} != {want}"
 
 
 def test_truncate_ellipsis(spark):
