@@ -10,10 +10,11 @@ each node's label becomes the min of its own and all neighbors' labels;
 iterate to fixpoint. Per-iteration `localCheckpoint` truncates lineage so the
 plan doesn't grow exponentially (SURVEY.md §4). Near-duplicate components are
 small and shallow (diameter ≤ a handful), so the fixpoint is reached in a few
-iterations; the iteration cap guards pathological chains — for adversarial
-long-chain graphs the large-star/small-star variant (Kiveris et al., "CC in
-MapReduce and Beyond") halves diameter per round and would slot in behind the
-same interface.
+iterations; if a pathological graph survives the iteration cap, the
+alternating large-star/small-star variant (Kiveris et al., "CC in MapReduce
+and Beyond", ``_star_components``) takes over by default — it halves
+component diameter per round (O(log² n) rounds at ANY diameter), so even
+adversarial million-hop chains resolve correctly.
 
 Labels are the node keys themselves (min url = canonical representative), so
 the result is deterministic under any partitioning and collision-free at any
@@ -85,6 +86,87 @@ def _single_task_components(edges: DataFrame) -> DataFrame:
     )
 
 
+def _star_components(edges: DataFrame, max_iter: int = 40) -> DataFrame:
+    """(node, cluster_id) for every node with an edge — alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"), which HALVES component diameter per round:
+    O(log² n) rounds for any graph, including adversarial million-hop
+    chains where plain min-label propagation needs diameter rounds.
+
+    One round:
+      large-star — per node u, attach every strictly-larger neighbor to
+        m(u) = min(Γ(u) ∪ {u});
+      small-star — per node u over edges grouped by their LARGER endpoint,
+        attach u and its (all smaller) neighbors to m(u).
+    The edge set converges to per-component stars (root = min member);
+    convergence is detected by an order-independent count + hash checksum
+    (64-bit xxhash sum — collision odds negligible), each round is a
+    constant number of hash joins/aggregations, and each intermediate edge
+    set is localCheckpoint'ed so plans stay flat.
+    """
+    e = (
+        edges.where(F.col("key_l") != F.col("key_r"))
+        .select(
+            F.least("key_l", "key_r").alias("s"), F.greatest("key_l", "key_r").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: a long sum of 64-bit hashes overflows
+            # (ANSI mode raises); decimal is exact to 10^38
+            F.sum(F.xxhash64("s", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = checksum(e)
+    for _ in range(max_iter):
+        # ---- large-star: symmetric adjacency, min over (neighbors ∪ self)
+        sym = e.select(F.col("s").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("s").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("_mv", F.col("u")).alias("m"))
+        )
+        e = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("s"), F.greatest("v", "m").alias("b"))
+            .where(F.col("s") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # ---- small-star: group by the larger endpoint b (all neighbors ≤ b);
+        # attach b and every neighbor to the min neighbor
+        mins2 = e.groupBy("b").agg(F.min("s").alias("m"))
+        with_min = e.join(mins2, "b")
+        e = (
+            with_min.select(F.col("m").alias("s"), F.col("b").alias("b2"))
+            .union(
+                with_min.where(F.col("s") != F.col("m")).select(
+                    F.col("m").alias("s"), F.col("s").alias("b2")
+                )
+            )
+            .select("s", F.col("b2").alias("b"))
+            .where(F.col("s") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged stars: every edge is (root=s, member=b); roots label themselves
+    members = e.select(F.col("b").alias("node"), F.col("s").alias("cluster_id"))
+    roots = e.select(F.col("s").alias("node"), F.col("s").alias("cluster_id")).distinct()
+    return members.union(roots).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -95,7 +177,7 @@ def connected_components(
     hops_per_round: int = 2,
     small_graph_edges: int = 2_000_000,
     edge_count: int | None = None,
-    on_nonconverged: str = "raise",
+    on_nonconverged: str = "star",
 ) -> DataFrame:
     """edges(key_l, key_r) + nodes(key) → (key, cluster_id) for every node.
 
@@ -126,12 +208,16 @@ def connected_components(
     cluster. Larger edge lists take the distributed label-propagation path
     unchanged. Set ``small_graph_edges=0`` to force the iterative path.
 
-    The distributed fixpoint RAISES if it has not converged within
-    ``max_iter`` rounds (``on_nonconverged="warn"`` downgrades to a
-    stderr warning) — a silently-unconverged label table would emit one
-    component as several clusters. Diameters that large (million-hop
-    chains) want a large-star/small-star variant; realistic near-dup
-    graphs converge in a handful of rounds.
+    A distributed fixpoint that has not converged within ``max_iter``
+    rounds is NEVER returned silently — an unconverged label table would
+    emit one component as several clusters. ``on_nonconverged`` picks the
+    recovery: ``"star"`` (default) re-resolves the graph with alternating
+    large-star/small-star (``_star_components``) — O(log² n) rounds at any
+    diameter, so even adversarial million-hop chains finish correct;
+    ``"raise"`` raises RuntimeError; ``"warn"`` prints to stderr and
+    returns the unconverged labels (diagnostics only). Realistic near-dup
+    graphs converge in a handful of propagation rounds and never reach
+    this.
     """
     if edge_count is None and small_graph_edges:
         edge_count = edges.count()
@@ -213,16 +299,25 @@ def connected_components(
         msg = (
             f"connected_components: label propagation did not converge in "
             f"{max_iter} rounds × {hops_per_round} hops — graph diameter "
-            f"exceeds {max_iter * hops_per_round}; raise max_iter/"
-            f"hops_per_round (or use a large-star/small-star variant for "
-            f"adversarial chain graphs)"
+            f"exceeds {max_iter * hops_per_round}"
         )
+        if on_nonconverged == "star":
+            assigned = _star_components(edges)
+            base = nodes.select(key_col)
+            if not nodes_unique:
+                base = base.distinct()
+            return base.join(
+                assigned.withColumnRenamed("node", key_col), key_col, "left"
+            ).select(
+                key_col,
+                F.coalesce(F.col("cluster_id"), F.col(key_col)).alias("cluster_id"),
+            )
         if on_nonconverged == "warn":
             import sys
 
             print(f"WARNING: {msg}", file=sys.stderr, flush=True)
         else:
-            raise RuntimeError(msg)
+            raise RuntimeError(msg + "; pass on_nonconverged='star' to re-resolve")
 
     assigned = labels.select(
         F.col("node").alias(key_col), F.col("label").alias("cluster_id")

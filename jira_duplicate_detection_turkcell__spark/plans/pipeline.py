@@ -222,6 +222,7 @@ def fused_bucket_table(signed: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, 
     screen sketch only on band rows.
     """
     with_sim = cfg.enable_simhash and "simhash" in signed.columns
+    n_scr = (cfg.num_perm + 63) // 64
 
     if "band_hashes" in signed.columns:
         band_arr = F.col("band_hashes")
@@ -247,6 +248,11 @@ def fused_bucket_table(signed: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, 
                 ),
             ),
         )
+    # the screen rides as SCALAR long columns (screen0..screen{k-1}), not an
+    # array: scalar carries shuffle as primitive fields and the agreement
+    # screen stays in whole-stage codegen (an array carry forced interpreted
+    # zip_with/aggregate per pair row, which anti-scaled — see
+    # verify.screen_agreement)
     buckets = signed.select(
         "url", F.explode(structs).alias("b"), screen_arr.alias("_scr"),
         *(["simhash"] if with_sim else []),
@@ -255,14 +261,18 @@ def fused_bucket_table(signed: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, 
         "b.bid",
         "b.bkey",
         "url",
-        F.when(F.col("b.bkind") == 0, F.col("_scr")).alias("screen"),
+        *[
+            F.when(F.col("b.bkind") == 0, F.col("_scr")[c]).alias(f"screen{c}")
+            for c in range(n_scr)
+        ],
         *(
             [F.when(F.col("b.bkind") == 1, F.col("simhash")).alias("simhash")]
             if with_sim
             else []
         ),
     )
-    return buckets, ["screen"] + (["simhash"] if with_sim else [])
+    carry = [f"screen{c}" for c in range(n_scr)]
+    return buckets, carry + (["simhash"] if with_sim else [])
 
 
 def verify_fused_pairs(
@@ -286,7 +296,12 @@ def verify_fused_pairs(
                 <= cfg.hamming_max
             )
         )
-    est = verify.screen_agreement(F.col("screen_l"), F.col("screen_r"), cfg.num_perm)
+    n_scr = (cfg.num_perm + 63) // 64
+    est = verify.screen_agreement(
+        [F.col(f"screen{c}_l") for c in range(n_scr)],
+        [F.col(f"screen{c}_r") for c in range(n_scr)],
+        cfg.num_perm,
+    )
     pairs = pairs.where(
         (F.col("bkind") == 1)
         | (est >= cfg.jaccard_threshold - verify.SCREEN_MARGIN)

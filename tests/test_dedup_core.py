@@ -173,8 +173,10 @@ def test_connected_components_chain(spark, small_gate):
 
 def test_connected_components_nonconvergence_detected(spark):
     # a 100-hop chain on the distributed path with hops_per_round=1 and a
-    # small max_iter must RAISE (silent non-convergence splits a component
-    # into several clusters); with enough rounds the same graph converges
+    # small max_iter: silent non-convergence would split the component into
+    # several clusters. on_nonconverged='raise' must raise; the default
+    # ('star') must hand over to large-star/small-star and still produce
+    # the correct single component; enough propagation rounds also converge
     keys = [f"n{i:03d}" for i in range(101)]
     nodes = spark.createDataFrame([(k,) for k in keys], "url string")
     edges = spark.createDataFrame(
@@ -182,12 +184,43 @@ def test_connected_components_nonconvergence_detected(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         components.connected_components(
-            edges, nodes, small_graph_edges=0, hops_per_round=1, max_iter=5
+            edges, nodes, small_graph_edges=0, hops_per_round=1, max_iter=5,
+            on_nonconverged="raise",
         ).collect()
+    via_star = components.connected_components(
+        edges, nodes, small_graph_edges=0, hops_per_round=1, max_iter=5
+    ).collect()
+    assert {r["cluster_id"] for r in via_star} == {"n000"}
     got = components.connected_components(
         edges, nodes, small_graph_edges=0, hops_per_round=4, max_iter=30
     ).collect()
     assert {r["cluster_id"] for r in got} == {"n000"}
+
+
+def test_star_components_matches_union_find_on_random_graphs(spark):
+    # the star variant must agree with the single-task union-find on
+    # arbitrary graphs (random + planted shapes), node for node
+    import random
+
+    rng = random.Random(11)
+    keys = [f"k{i:03d}" for i in range(80)]
+    pairs = set()
+    while len(pairs) < 70:
+        a, b = rng.sample(keys, 2)
+        pairs.add((min(a, b), max(a, b)))
+    edges = spark.createDataFrame(sorted(pairs), "key_l string, key_r string")
+    nodes = spark.createDataFrame([(k,) for k in keys], "url string")
+
+    want = {
+        r["url"]: r["cluster_id"]
+        for r in components.connected_components(edges, nodes).collect()
+    }
+    star = components._star_components(edges)
+    got = {r["node"]: r["cluster_id"] for r in star.collect()}
+    # star assigns only edge-touching nodes; singletons come from the caller
+    for k, cid in got.items():
+        assert want[k] == cid
+    assert set(got) == {k for k in keys if any(k in p for p in pairs)}
 
 
 def test_pipeline_end_to_end_recall(spark, pages, texts):
