@@ -50,6 +50,52 @@ def _fmix64(h: np.ndarray) -> np.ndarray:
     return h ^ (h >> np.uint64(32))
 
 
+# grams per MinHash cache block: 32k grams = 256 KB of keys + 256 KB of
+# scratch — resident in L2 across all num_perm passes. The unblocked loop
+# streamed the full gram vector from DRAM once per permutation (~24 B/gram
+# × 128 perms = ~3 KB of memory traffic per gram); at 8 concurrent workers
+# that saturated host memory bandwidth and inflated per-task time 1.6×
+# (scripts/kernel_scaling_probe.py). Blocking cuts DRAM traffic ~num_perm×
+# and is what lets the signature stage scale with cores.
+_MINHASH_BLOCK = 32768
+
+# tokens per SimHash vote step: the (chunk x 64) int32 vote expansion is the
+# kernel's fattest transient; 8k tokens -> 2 MB, L2-resident at 8 concurrent
+# workers (the old 65536 -> 16 MB spilled to DRAM and contended across workers)
+_SIMHASH_CHUNK = 8192
+
+
+def _minhash_blocked(
+    g: np.ndarray,
+    offsets: np.ndarray,
+    a_params: np.ndarray,
+    b_params: np.ndarray,
+    num_perm: int,
+    hv_buf: np.ndarray,
+) -> np.ndarray:
+    """(flat uint64 grams, per-row start offsets) → (n_rows, num_perm) uint64
+    MinHash matrix, computed block-of-rows at a time so each gram block is
+    read from DRAM once, not num_perm times."""
+    n_rows = offsets.size
+    out = np.empty((n_rows, num_perm), dtype=np.uint64)
+    r0 = 0
+    while r0 < n_rows:
+        r1 = int(np.searchsorted(offsets, offsets[r0] + _MINHASH_BLOCK, side="right"))
+        r1 = max(r1, r0 + 1)
+        s = offsets[r0]
+        e = offsets[r1] if r1 < n_rows else g.size
+        g_blk = g[s:e]
+        off_blk = offsets[r0:r1] - s
+        hv = hv_buf[: g_blk.size]
+        for k in range(num_perm):
+            # affine bijection mod 2^64 (odd a) — see minhash._permutations
+            np.multiply(a_params[k], g_blk, out=hv)
+            np.add(hv, b_params[k], out=hv)
+            out[r0:r1, k] = np.minimum.reduceat(hv, off_blk)
+        r0 = r1
+    return out
+
+
 def _flatten(col: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Series of int lists → (flat uint64, per-row lengths, nonempty offsets)."""
     lengths = col.map(len).to_numpy(dtype=np.int64)
@@ -82,14 +128,9 @@ def fused_compute(num_perm: int = 128, seed: int = 7, with_simhash: bool = True)
             if flat.size:
                 if hv_buf.size < flat.size:
                     hv_buf = np.empty(flat.size, dtype=np.uint64)
-                hv = hv_buf[: flat.size]
-                rows = np.empty((num_perm, offsets.size), dtype=np.uint64)
-                for k in range(num_perm):
-                    # affine bijection mod 2^64 (odd a) — see minhash._permutations
-                    np.multiply(a_params[k], flat, out=hv)
-                    np.add(hv, b_params[k], out=hv)
-                    rows[k] = np.minimum.reduceat(hv, offsets)
-                sigs[nonempty] = rows.T.astype(np.int64, copy=False)
+                sigs[nonempty] = _minhash_blocked(
+                    flat, offsets, a_params, b_params, num_perm, hv_buf
+                ).view(np.int64)
 
             # ---- SimHash over tf-weighted token hashes, chunked so the
             # (tokens × 64) vote expansion stays cache-sized per step
@@ -100,7 +141,7 @@ def fused_compute(num_perm: int = 128, seed: int = 7, with_simhash: bool = True)
                 n_rows = int(tnonempty.sum())
                 if tflat.size:
                     sums = np.zeros((n_rows, 64), dtype=np.int32)
-                    chunk = 65536  # tokens per step → ≤ 32 MB of transients
+                    chunk = _SIMHASH_CHUNK
                     for s in range(0, tflat.size, chunk):
                         e = min(s + chunk, tflat.size)
                         votes = (
@@ -176,7 +217,7 @@ def _simhash_from_flat(tflat, tlengths, bit_idx):
     toffsets = np.zeros(n_rows, dtype=np.int64)
     np.cumsum(tlengths[tnonempty][:-1], out=toffsets[1:])
     sums = np.zeros((n_rows, 64), dtype=np.int32)
-    chunk = 65536  # tokens per step → ≤ 32 MB of transients
+    chunk = _SIMHASH_CHUNK
     for s in range(0, tflat.size, chunk):
         e = min(s + chunk, tflat.size)
         votes = ((tflat[s:e, None] >> bit_idx) & np.uint64(1)).astype(np.int32) * 2 - 1
@@ -276,13 +317,9 @@ def text_sign_compute(
             sigs[~nonempty] = empty_sig
             if g.size:
                 hv = np.empty(g.size, dtype=np.uint64)
-                out_rows = np.empty((num_perm, offsets.size), dtype=np.uint64)
-                for k in range(num_perm):
-                    # affine bijection mod 2^64 (odd a) — see minhash._permutations
-                    np.multiply(a_params[k], g, out=hv)
-                    np.add(hv, b_params[k], out=hv)
-                    out_rows[k] = np.minimum.reduceat(hv, offsets)
-                sigs[nonempty] = out_rows.T.astype(np.int64, copy=False)
+                sigs[nonempty] = _minhash_blocked(
+                    g, offsets, a_params, b_params, num_perm, hv
+                ).view(np.int64)
 
             # ---- SimHash over tf-preserving token hashes
             if with_simhash:

@@ -201,11 +201,13 @@ def fused_edges(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     buckets, carry = fused_bucket_table(signed, cfg)
     # one spreading granularity for both kinds — the cap no longer affects
-    # recall (salting, not dropping), only per-cell work
+    # recall (salting, not dropping), only per-cell work. Pairing runs in
+    # nid space (see fused_bucket_table) — 8-byte keys through the fattest
+    # shuffle instead of URL strings.
     pairs, _hot = salted_bucket_pairs(
         buckets,
         ["bkind", "bid", "bkey"],
-        "url",
+        "nid",
         cfg.minhash_bucket_cap,
         carry_cols=carry,
         out_bucket_cols=["bkind"],
@@ -214,12 +216,23 @@ def fused_edges(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def fused_bucket_table(signed: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, list[str]]:
-    """signed → (bucket table (bkind, bid, bkey, url, carries…), carry cols).
+    """signed → (bucket table (bkind, bid, bkey, nid, carries…), carry cols).
 
     bkind 0 rows are the LSH band hashes, bkind 1 rows the SimHash
     chunk-pair keys. Per-kind carries are nulled where unused (NULLs ship
     ~free through the shuffle): the simhash matters only on chunk rows, the
     screen sketch only on band rows.
+
+    The doc key rides as ``nid = xxhash64(url)`` — an 8-byte long instead
+    of the URL string, which otherwise ships ~2×(bands+chunk_pairs) copies
+    per doc through the edge phase's dominant shuffle and pays string
+    hash/compare in the pair join and survivor distinct (a measured ~2×
+    CPU inflation of the whole phase at n=200k). True URLs are recovered
+    for free on the shingle attach join (verify_fused_pairs), so a 64-bit
+    collision can never mislabel or falsify an edge — verification runs on
+    the attached true (url, shingles) rows; the only effect is that the
+    colliding pair itself is dropped as a self-row (P = 2⁻⁶⁴ per pair,
+    orders of magnitude below MinHash-LSH's own miss rate).
     """
     with_sim = cfg.enable_simhash and "simhash" in signed.columns
     n_scr = (cfg.num_perm + 63) // 64
@@ -254,13 +267,15 @@ def fused_bucket_table(signed: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, 
     # zip_with/aggregate per pair row, which anti-scaled — see
     # verify.screen_agreement)
     buckets = signed.select(
-        "url", F.explode(structs).alias("b"), screen_arr.alias("_scr"),
+        F.xxhash64("url").alias("nid"),
+        F.explode(structs).alias("b"),
+        screen_arr.alias("_scr"),
         *(["simhash"] if with_sim else []),
     ).select(
         "b.bkind",
         "b.bid",
         "b.bkey",
-        "url",
+        "nid",
         *[
             F.when(F.col("b.bkind") == 0, F.col("_scr")[c]).alias(f"screen{c}")
             for c in range(n_scr)
@@ -278,14 +293,17 @@ def fused_bucket_table(signed: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, 
 def verify_fused_pairs(
     pairs: DataFrame, signed: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
-    """Carry-bearing candidate pairs → distinct verified edges (key_l, key_r).
+    """Carry-bearing candidate pairs (nid space) → distinct verified edges
+    (key_l, key_r) in URL space.
 
     Inline verification/screening on the pair rows themselves — NULL
     carries on the other kind make each predicate vacuously true there
     (true OR null = true). SimHash rows are verified EXACTLY inline
     (64-bit Hamming on the carried signatures); MinHash rows pass the
     low-bit screen inline, and only survivors pay the single attach join
-    (the fat shingle sets, against ``signed``) for exact Jaccard.
+    (the fat shingle sets, against ``signed``) for exact Jaccard. That
+    attach join also recovers the true URL per side, so the nid encoding
+    never reaches the returned edge list.
     """
     with_sim = cfg.enable_simhash and "simhash_l" in pairs.columns
     if with_sim:
@@ -308,7 +326,10 @@ def verify_fused_pairs(
     )
     survivors = pairs.select("bkind", "key_l", "key_r").distinct()
 
-    fat = verify.attach_pair_columns(survivors, signed, ["shingles"], "url")
+    nid_docs = signed.select(
+        F.xxhash64("url").alias("nid"), "url", "shingles"
+    )
+    fat = verify.attach_pair_columns(survivors, nid_docs, ["url", "shingles"], "nid")
     inter = F.size(F.array_intersect(F.col("shingles_l"), F.col("shingles_r")))
     union = F.size("shingles_l") + F.size("shingles_r") - inter
     jac = F.when(
@@ -316,7 +337,11 @@ def verify_fused_pairs(
     ).otherwise(F.lit(0.0))
     return (
         fat.where((F.col("bkind") == 1) | (jac >= cfg.jaccard_threshold))
-        .select("key_l", "key_r")
+        # back to URL keys; nid order ≠ url order, so re-normalize the pair
+        .select(
+            F.least("url_l", "url_r").alias("key_l"),
+            F.greatest("url_l", "url_r").alias("key_r"),
+        )
         .distinct()
     )
 

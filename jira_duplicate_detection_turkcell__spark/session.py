@@ -51,8 +51,21 @@ _BASE_CONF: dict[str, str] = {
     # so heap growth doesn't re-fault under concurrent task threads.
     # (THP was tested and made it *worse*: defrag=madvise means every
     # madvise'd fault may do synchronous compaction.)
-    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
-    "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
+    # NewRatio=1 gives the young gen half the heap: the edge phase's pair
+    # join allocates short-lived UnsafeRow copies at 8 concurrent tasks and
+    # the default 1/3 young gen promoted that churn straight into full GCs
+    # (measured n=200k, 8 cores: 21.5 s GC inside the 70 s join stage; 0 s
+    # with the bigger young gen). Expressed as a ratio so any executor heap
+    # size gets the same behavior. (-Xms pre-commit was ALSO tried: it moves
+    # ~25 s of lazy host page-faulting onto the critical path — worse.)
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC -XX:NewRatio=1",
+    "spark.executor.extraJavaOptions": "-XX:+UseParallelGC -XX:NewRatio=1",
+    # 16 MB AQE target (default 64 MB) quadruples the post-shuffle task
+    # count of the CPU-dense pair-join stage: its cost per input byte is
+    # ~10× a scan's (pair explosion + bit_count screens), so byte-balanced
+    # coalescing left it 11 tasks ≈ 1.4 waves on 8 cores with straggler
+    # tails. More, smaller sorts also stay young-gen-sized.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16MB",
     # fork workers from a daemon that has already imported numpy/pandas/
     # pyarrow + the engine kernels (copy-on-write warm image) — removes the
     # per-worker import storm from the first job's critical path

@@ -78,7 +78,7 @@ def incremental_edges(
         buckets_new,
         buckets_all,
         ["bkind", "bid", "bkey"],
-        "url",
+        "nid",
         cfg.minhash_bucket_cap,
         carry_cols=carry,
         out_bucket_cols=["bkind"],
