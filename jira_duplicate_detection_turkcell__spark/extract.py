@@ -68,23 +68,35 @@ _SECTION_HEADERS = [
     (re.compile(r"^\s*\*?Expected\s*Result\*?\s*:\s*", re.MULTILINE | re.IGNORECASE), "Expected Result:\n"),
 ]
 _SECTION_BLANKLINE = [
-    (re.compile(r"(\n|^)(Test Steps:)"), r"\1\n\2"),
-    (re.compile(r"(\n|^)(Actual Result:)"), r"\1\n\2"),
-    (re.compile(r"(\n|^)(Expected Result:)"), r"\1\n\2"),
+    # (compiled pattern, replacement, literal guard: the canonical header
+    # text every match must contain)
+    (re.compile(r"(\n|^)(Test Steps:)"), r"\1\n\2", "Test Steps:"),
+    (re.compile(r"(\n|^)(Actual Result:)"), r"\1\n\2", "Actual Result:"),
+    (re.compile(r"(\n|^)(Expected Result:)"), r"\1\n\2", "Expected Result:"),
 ]
 
-# Platform/device canonical casings (:98-103 then :317-322; order matters —
-# dict insertion order first, then the four extra subs).
-_PLATFORM_SUBS = [
-    (re.compile(r"\bIOS\b", re.IGNORECASE), "iOS"),
-    (re.compile(r"\bAndroid\b", re.IGNORECASE), "Android"),
-    (re.compile(r"\biPhone\b", re.IGNORECASE), "iPhone"),
-    (re.compile(r"\biPad\b", re.IGNORECASE), "iPad"),
-    (re.compile(r"\bios\b", re.IGNORECASE), "iOS"),
-    (re.compile(r"\biphone\b", re.IGNORECASE), "iPhone"),
-    (re.compile(r"\bipad\b", re.IGNORECASE), "iPad"),
-    (re.compile(r"\bandroid\b", re.IGNORECASE), "Android"),
-]
+# Platform/device canonical casings (:98-103 then :317-322). The reference
+# runs 8 sequential case-insensitive word subs; because every replacement is
+# the word's canonical casing (so re-matching a replacement is a fixed
+# point) and the four words cannot overlap (\b-delimited distinct literals),
+# one alternation pass produces byte-identical output in 1 scan instead
+# of 8. The canonical form is keyed by casefolded match; non-ASCII folds
+# (İ/ı match ASCII i under Python's IGNORECASE) fall back to the word's
+# last letter, which distinguishes the four words unambiguously.
+RE_PLATFORM_ANY = re.compile(r"\b(?:ios|android|iphone|ipad)\b", re.IGNORECASE)
+_PLATFORM_CANON = {"ios": "iOS", "android": "Android", "iphone": "iPhone", "ipad": "iPad"}
+_PLATFORM_BY_LAST = {"s": "iOS", "d": "Android", "e": "iPhone"}
+
+
+def _platform_repl(m: re.Match) -> str:
+    w = m.group(0)
+    hit = _PLATFORM_CANON.get(w.lower())
+    if hit is not None:
+        return hit
+    last = w[-1].lower()
+    if last != "d":
+        return _PLATFORM_BY_LAST.get(last, w)
+    return "iPad" if len(w) == 4 else "Android"
 
 # Permission-key spacing fixes (:410-418): the raw pattern string doubles as
 # the replacement template (it contains no regex metacharacters).
@@ -102,10 +114,16 @@ RE_BLOCKQUOTE = re.compile(r"^bq\.\s*", re.MULTILINE)  # :397
 RE_STAR_LINE = re.compile(r"^\s*\*+\s*$", re.MULTILINE)  # :400
 RE_TRIPLE_NEWLINE = re.compile(r"\n\s*\n\s*\n+")  # :229
 RE_HASH_BULLET = re.compile(r"^\s*#\s+", re.MULTILINE)  # :359
-RE_SPACES_TABS = re.compile(r"[ \t]+")  # :238
+# :238 — the reference pattern is [ \t]+ → " "; a run of exactly one space
+# maps to itself, so matching only runs that actually change (any run
+# containing a tab, or ≥2 spaces) is byte-identical and skips the per-match
+# churn on every single inter-word space
+RE_SPACES_TABS = re.compile(r"[ \t]*\t[ \t]*| {2,}")
 RE_EOL_SPACES = re.compile(r"[ \t]+$", re.MULTILINE)  # :240
 RE_APP_VERSION_KEY = re.compile(r"App Version:")  # :428
-RE_ALL_WS = re.compile(r"\s+")  # :496
+# :496 — reference pattern \s+ → " "; restricted to runs that actually
+# change (≥2 chars, or a single non-space whitespace char) — byte-identical
+RE_ALL_WS = re.compile(r"\s{2,}|[^ \S]")
 RE_SEMVER_INNER_WS = re.compile(r"\s*\.\s*")  # :335
 RE_V_PREFIX = re.compile(r"^v\s*")  # :511
 
@@ -146,12 +164,21 @@ def normalize_linebreaks(text: str) -> str:
 def canonicalize_sections(text: str) -> str:
     if not text:
         return ""
-    for pat, repl in _SECTION_HEADERS:
-        text = pat.sub(repl, text)
-    text = RE_ORPHAN_STAR.sub("", text)
-    text = RE_HASH_BULLET.sub("", text)
-    for pat, repl in _SECTION_BLANKLINE:
-        text = pat.sub(repl, text)
+    # literal guards: each header pattern requires its word (no ``i`` in
+    # test/actual/expected, so plain lower() containment is exact; ſ and
+    # fullwidth confusables are gone after NFKC upstream)
+    tl = text.lower()
+    needles = ("test", "actual", "expected")
+    for (pat, repl), needle in zip(_SECTION_HEADERS, needles):
+        if needle in tl:
+            text = pat.sub(repl, text)
+    if "*" in text:
+        text = RE_ORPHAN_STAR.sub("", text)
+    if "#" in text:
+        text = RE_HASH_BULLET.sub("", text)
+    for pat, repl, needle in _SECTION_BLANKLINE:
+        if needle in text:
+            text = pat.sub(repl, text)
     return text
 
 
@@ -175,14 +202,28 @@ def _mask_one_url(match: re.Match) -> str:
 
 
 def mask_pii(text: str) -> str:
-    """Email/phone/MSISDN/IP/URL/ID masking, in reference order (:281-304)."""
+    """Email/phone/MSISDN/IP/URL/ID masking, in reference order (:281-304).
+
+    Each pattern requires a literal substring (``@``, ``5``, ``msisdn``,
+    ``://``/``www.``); a C-level containment check skips the regex scan on
+    the ~96% of documents that can't match. Guards are exact implications
+    of the patterns — the only IGNORECASE subtlety is Turkish İ/ı, which
+    match ASCII ``i`` without lowercasing to it, handled by the ``_i_risk``
+    escape hatch (ſ and fullwidth forms are gone after NFKC upstream).
+    """
     if not text:
         return ""
-    text = RE_EMAIL.sub("[PRESENT]", text)
-    text = RE_TR_PHONE.sub("[PRESENT]", text)
-    text = RE_MSISDN.sub(r"\1: [PRESENT]", text)
+    if "@" in text:  # RE_EMAIL requires a literal '@'
+        text = RE_EMAIL.sub("[PRESENT]", text)
+    if "5" in text:  # RE_TR_PHONE requires a literal '5'
+        text = RE_TR_PHONE.sub("[PRESENT]", text)
+    tl = text.lower()
+    _i_risk = "İ" in text or "ı" in tl
+    if "msisdn" in tl or _i_risk:
+        text = RE_MSISDN.sub(r"\1: [PRESENT]", text)
     text = RE_IPV4.sub("[PRESENT]", text)
-    text = RE_URL.sub(_mask_one_url, text)
+    if "://" in text or "www." in tl:
+        text = RE_URL.sub(_mask_one_url, text)
     text = RE_UPPER_ID.sub("[PRESENT]", text)
     return text
 
@@ -190,6 +231,8 @@ def mask_pii(text: str) -> str:
 def fix_permission_spacing(text: str) -> str:
     if not text:
         return ""
+    if ":true" not in text:  # every key ends with the literal ':true'
+        return text
     for key in _PERMISSION_KEYS:
         text = re.sub(key, key.replace(":", ": "), text)
     return text
@@ -204,8 +247,15 @@ def standardize_metadata_keys(text: str) -> str:
 def normalize_platform_names(text: str) -> str:
     if not text:
         return ""
-    for pat, repl in _PLATFORM_SUBS:
-        text = pat.sub(repl, text)
+    tl = text.lower()
+    # literal guard: any regex match must contain ASCII i/o/s etc. that
+    # lowercase into one of these substrings — except Turkish İ/ı, which
+    # IGNORECASE-match ASCII i but don't lowercase to it (escape hatch)
+    if (
+        "ios" in tl or "android" in tl or "iphone" in tl or "ipad" in tl
+        or "İ" in text or "ı" in tl
+    ):
+        return RE_PLATFORM_ANY.sub(_platform_repl, text)
     return text
 
 
