@@ -53,6 +53,14 @@ ADVERSARIAL = [
     "metadata Language : Türkçe\nCarrier : Turkcell\nDevice OS : Android 14",
     "MIXED [PRESENT] tokens already present [PRESENT domain=x.y]",
     "5321234567 bare and 05321234567 zero-led and 905321234567",
+    # Turkish dotted/dotless-i forms: Python re IGNORECASE matches İ/ı
+    # against ASCII i, but İ/ı don't .lower() to plain "i" — these pin the
+    # literal-guard escape hatches in mask_pii / normalize_platform_names
+    "İOS crash on ıOS and İPHONE 15 with İPAD mini, ANDROıD too",
+    "MSİSDN : +905321234567 and msısdn: 905311112233",
+    "WWW.Example.COM and wWw.mixed.case/path and HTTPS://UPPER.HOST/X",
+    "TEST STEPS: with content\nACTUAL RESULT: broken\nEXPECTED RESULT: fine",
+    "tabs\tonly\there and single space runs stay",
 ]
 
 
