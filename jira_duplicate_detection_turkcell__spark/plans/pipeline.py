@@ -23,7 +23,7 @@ from dataclasses import asdict, dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..extract import extract_pages
+from ..extract import extract_docs
 from ..functions.shingle import char_shingles, word_shingles
 from ..operators import minhash, signatures, simhash, suffix, verify
 from ..operators.components import connected_components
@@ -71,12 +71,13 @@ def shingle_expr(cfg: DedupConfig, text_col: str = "text"):
 
 
 def extract_stage(pages: DataFrame) -> DataFrame:
-    """pages(url, warc_ts, html, …) → docs(url, text), empty docs dropped."""
-    return (
-        extract_pages(pages)
-        .select("url", "text")
-        .filter(F.length("text") > 0)
-    )
+    """pages(url, warc_ts, html, …) → docs(url, text), empty docs dropped.
+
+    One mapInPandas pass (extract.extract_docs) — the earlier pandas-UDF +
+    JVM filter formulation re-evaluated the extractor once per UDF use site
+    (2× the priciest kernel; see extract_docs docstring).
+    """
+    return extract_docs(pages)
 
 
 def exact_collapse(docs: DataFrame) -> DataFrame:
