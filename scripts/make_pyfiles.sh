@@ -22,6 +22,7 @@ Deploy example (multi-executor cluster):
     --num-executors 1000 --executor-cores 4 --executor-memory 16g \
     --conf spark.sql.shuffle.partitions=8000 \
     --conf spark.sql.adaptive.enabled=true \
+    --conf spark.python.daemon.module=jira_duplicate_detection_turkcell__spark.warm_daemon \
     --py-files dist/jdt_spark.zip \
     jira_duplicate_detection_turkcell__spark/cli.py \
     dedup --input s3://bucket/pages --output s3://bucket/clusters \

@@ -105,3 +105,37 @@ def test_text_sign_kernel_end_to_end_stability():
     u0 = a[a["url"] == "u0"]["minhash_sig"].iloc[0]
     u4 = a[a["url"] == "u4"]["minhash_sig"].iloc[0]
     assert np.array_equal(u0, u4)
+
+
+def test_zipimport_invalidate_stat_guard(tmp_path):
+    """warm_daemon's stat guard: unchanged archives skip the directory
+    re-read; a touched archive still invalidates."""
+    import os
+    import zipfile
+    import zipimport
+
+    from jira_duplicate_detection_turkcell__spark import warm_daemon  # noqa: F401  (applies patch)
+
+    assert getattr(zipimport.zipimporter.invalidate_caches, "_jdt_patch", False)
+    zp = tmp_path / "m.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("modx.py", "x = 1\n")
+    zi = zipimport.zipimporter(str(zp))
+    calls = {"n": 0}
+    orig = zipimport._read_directory
+
+    def counting(path):
+        calls["n"] += 1
+        return orig(path)
+
+    zipimport._read_directory = counting
+    try:
+        zi.invalidate_caches()
+        zi.invalidate_caches()
+        zi.invalidate_caches()
+        assert calls["n"] == 1  # first call reads, guard absorbs the rest
+        os.utime(zp, ns=(12345, 67890))
+        zi.invalidate_caches()
+        assert calls["n"] == 2  # mtime moved -> genuine re-read
+    finally:
+        zipimport._read_directory = orig
