@@ -87,3 +87,32 @@ def test_pages_write_read_roundtrip(spark, tmp_path):
     assert [f.name for f in back.schema.fields] == [
         "url", "warc_ts", "html", "text", "lang",
     ]
+
+def test_extract_docs_single_pass_and_filtering(spark):
+    """extract_docs: one Python pass, byte-equal to extract_text per row,
+    null/empty-html rows dropped (the old pandas-UDF + JVM-filter shape
+    evaluated the cleaner twice; this pins the replacement's semantics)."""
+    from pyspark.sql import Row
+
+    from jira_duplicate_detection_turkcell__spark.extract import (
+        BODY_CLOSE,
+        BODY_OPEN,
+        extract_docs,
+        extract_text,
+    )
+
+    rows = [
+        Row(url="u1", html=f"<x>{BODY_OPEN}Hello World version 1.2.3{BODY_CLOSE}</x>".encode()),
+        Row(url="u2", html=None),
+        Row(url="u3", html=f"{BODY_OPEN}{BODY_CLOSE}".encode()),  # empty body
+        Row(url="u4", html=f"{BODY_OPEN}  IOS crash at 10.0.0.1  {BODY_CLOSE}".encode()),
+    ]
+    out = {r["url"]: r["text"] for r in extract_docs(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {"u1", "u4"}  # null + empty-body rows dropped
+    for r in rows:
+        if r.url in out:
+            assert out[r.url] == extract_text(r.html)
+    # plan shape: exactly ONE Python evaluation node, no ArrowEvalPython
+    plan = extract_docs(spark.createDataFrame(rows))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan
