@@ -194,9 +194,11 @@ def substring_edges(
     components of the share-a-fingerprint relation), each doc's text is
     shipped ONCE into its group, and one suffix array per group verifies
     every pair in it (`_group_spans` run-scan — exact for the whole group).
-    Components larger than ``max_group_docs`` (text volume would not fit
-    one task) fall back to pairwise verification for exactly their
-    candidate pairs — same results, bounded memory.
+    Components larger than ``max_group_docs`` (boilerplate near-cliques,
+    whose true pair set is Ω(n²) by construction) emit a spanning
+    CERTIFICATE of true edges instead — per-fingerprint star edges, O(n)
+    rows with identical connected components and ``span_len = min_len``
+    lower bounds — see the inline comment at the oversized branch.
 
     Grouping is built from linear STAR EDGES, not pairwise co-occurrence:
     every fingerprint contributes (min member → member) edges, whose
@@ -219,9 +221,28 @@ def substring_edges(
     slim = docs.select(F.col(key_col), F.col(text_col))
 
     if sample <= 1:
-        fps = docs.select(
-            F.col(key_col),
-            F.explode(fingerprints(F.col(text_col), min_len, 1)).alias("fp"),
+        # Exact-recall nomination via WINNOWED fingerprints, not one
+        # fingerprint per character position. The classic winnowing
+        # guarantee (operators/winnow.py module docstring): with k-byte
+        # grams and window-w minima, any shared run of ≥ k + w − 1 bytes
+        # shares a selected fingerprint VALUE — so k = min_len − w + 1
+        # catches every shared substring of length ≥ min_len chars (a char
+        # is ≥ 1 UTF-8 byte) while emitting ~2/(w+1) fingerprints per
+        # character instead of 1. The previous per-position nomination
+        # exploded a boilerplate-heavy 20k-page corpus into ~19M posting
+        # rows and a 395 s edge phase; winnowing cuts posting volume ~8×
+        # with zero recall change (grouping may only get COARSER — docs
+        # sharing a ≥k-byte-but-<min_len run can land in one group — and
+        # the per-group suffix array rejects exactly those, so the output
+        # pair set is unchanged; pinned by the brute-force equality tests).
+        from .winnow import winnow_fingerprints
+
+        w = max(2, min(16, min_len // 3))
+        fpdf = winnow_fingerprints(
+            slim, text_col, key_col, k=min_len - w + 1, window=w
+        )
+        fps = fpdf.select(
+            F.col(key_col), F.explode("fingerprints").alias("fp")
         ).distinct().persist()
         reps = fps.groupBy("fp").agg(
             F.min(key_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
@@ -271,52 +292,48 @@ def substring_edges(
         # the candidate-pair contract by restricting to nominated pairs
         small_edges = small_edges.join(pairs, ["key_l", "key_r"], "left_semi")
 
-    # ---- oversized components: per-pair verification (bounded memory)
+    # ---- oversized components: spanning CERTIFICATE edges, not O(n²) pairs.
+    #
+    # Web-scale boilerplate creates near-clique components (a site paragraph
+    # ≥ min_len shared by every page of a site chains thousands of docs);
+    # the true pair set of such a component is Ω(n²) BY CONSTRUCTION, so
+    # any per-pair enumeration — however bounded per task — is quadratic
+    # work and quadratic output (measured: one 6,397-doc component drove a
+    # 20k-page edge phase to ~400 s). What downstream clustering needs is
+    # the component, not the clique: emit per-fingerprint STAR edges
+    # (fp-rep → member) over the oversized members' min_len-gram
+    # fingerprints. Sharing a min_len-gram hash IS the certificate of a
+    # shared min_len-char substring (modulo 64-bit collision — the same
+    # trust already placed in every hashed-shingle comparison here), so
+    # every emitted edge is a true substring edge with span_len ≥ min_len,
+    # and every true pair shares ≥ 1 such fingerprint, making the star
+    # graph's connected components EQUAL to the true pair graph's. O(n)
+    # edges, O(postings) work. Small components keep full SA-verified
+    # pair output; only oversized ones degrade to the certificate, which
+    # is the only scalable contract for them.
     big_keys = comp.filter(F.col("_gsz") > max_group_docs).select(
         F.col(key_col).alias("_bigk")
     )
-    if pairs is not None:
-        big_pairs = pairs.join(
-            F.broadcast(big_keys.withColumnRenamed("_bigk", "key_l")),
-            "key_l",
-            "left_semi",
-        )
-    else:
-        # nominate pairs only inside oversized components — the salted
-        # intra-bucket join over exactly those members' fingerprints
-        from .buckets import salted_bucket_pairs
-
-        fps_big = fps.join(
-            F.broadcast(big_keys.withColumnRenamed("_bigk", key_col)),
-            key_col,
-            "left_semi",
-        )
-        big_pairs, _bh = salted_bucket_pairs(
-            fps_big, ["fp"], key_col, max_bucket_size
-        )
-        big_pairs = big_pairs.distinct()
-    left = slim.select(F.col(key_col).alias("key_l"), F.col(text_col).alias("text_l"))
-    right = slim.select(F.col(key_col).alias("key_r"), F.col(text_col).alias("text_r"))
-    cand = big_pairs.join(left, "key_l").join(right, "key_r")
-
-    def verify_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_l, out_r, out_len = [], [], []
-        for key_l, key_r, t1, t2 in zip(
-            pdf["key_l"], pdf["key_r"], pdf["text_l"], pdf["text_r"]
-        ):
-            g = _group_spans(
-                pd.DataFrame({"url": [key_l, key_r], "text": [t1, t2]}), min_len
-            )
-            if len(g):
-                out_l.append(key_l)
-                out_r.append(key_r)
-                out_len.append(int(g["span_len"].max()))
-        return pd.DataFrame({"key_l": out_l, "key_r": out_r, "span_len": out_len})
-
-    grouped = cand.withColumn(
-        "pair_bucket", F.pmod(F.xxhash64("key_l", "key_r"), F.lit(256))
+    big_docs = slim.join(
+        F.broadcast(big_keys.withColumnRenamed("_bigk", key_col)),
+        key_col,
+        "left_semi",
     )
-    big_edges = grouped.groupBy("pair_bucket").applyInPandas(
-        verify_pairs, "key_l string, key_r string, span_len long"
+    cert_fps = big_docs.select(
+        F.col(key_col),
+        F.explode(fingerprints(F.col(text_col), min_len, sample)).alias("fp"),
+    ).distinct()
+    cert_reps = cert_fps.groupBy("fp").agg(
+        F.min(key_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
+    )
+    big_edges = (
+        cert_fps.join(cert_reps.where(F.col("_n") > 1), "fp")
+        .where(F.col(key_col) != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("key_l"),  # _rep = group min ⇒ key_l < key_r
+            F.col(key_col).alias("key_r"),
+            F.lit(min_len).cast("long").alias("span_len"),
+        )
+        .distinct()
     )
     return small_edges.unionByName(big_edges)

@@ -112,10 +112,13 @@ def test_substring_group_verification_emits_transitive_pairs(spark):
     assert got == {("a", "b"), ("a", "c"), ("b", "c")}
 
 
-def test_substring_oversized_component_fallback_same_pairs(spark):
+def test_substring_oversized_component_certificate(spark):
     # force the 3-doc shared-run component over max_group_docs: the
-    # pairwise fallback must nominate (via the salted fp join over exactly
-    # the big component's members) and verify the same three pairs
+    # oversized branch emits a spanning CERTIFICATE — every emitted edge is
+    # a TRUE substring pair (span_len ≥ min_len lower bound), and its
+    # connected components equal the full pair graph's, at O(n) edges.
+    # (A boilerplate near-clique's true pair set is Ω(n²); the certificate
+    # is the scalable contract — full pairs stay for small components.)
     from jira_duplicate_detection_turkcell__spark.operators import suffix
 
     shared = "the quick brown fox jumps over the lazy dog again and again"
@@ -125,10 +128,52 @@ def test_substring_oversized_component_fallback_same_pairs(spark):
         ("c", f"gamma start {shared} gamma end"),
         ("d", "unrelated content with no long runs shared with anyone else here"),
     ]
+    truth = {("a", "b"), ("a", "c"), ("b", "c")}
     docs = spark.createDataFrame(rows, "url string, text string")
     edges = suffix.substring_edges(docs, "text", "url", min_len=48, max_group_docs=2)
-    got = {(r["key_l"], r["key_r"]) for r in edges.collect()}
-    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+    got = {(r["key_l"], r["key_r"]): r["span_len"] for r in edges.collect()}
+    assert set(got) <= truth  # certificate edges are true pairs only
+    assert all(v >= 48 for v in got.values())
+    # spanning: the certificate connects exactly the true component {a,b,c}
+    parent = {k: k for k in "abcd"}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for l, r in got:
+        parent[find(l)] = find(r)
+    assert len({find(k) for k in "abc"}) == 1  # a,b,c connected
+    assert find("d") not in {find(k) for k in "abc"}  # d stays apart
+
+
+def test_substring_certificate_on_planted_clique(spark):
+    # 40-doc boilerplate clique (true pair set = C(40,2) = 780) with
+    # max_group_docs=8: the certificate must keep the component intact
+    # with FAR fewer edges than the quadratic pair set
+    from jira_duplicate_detection_turkcell__spark.operators import suffix
+
+    shared = "every page of this site embeds this exact boilerplate paragraph verbatim"
+    rows = [(f"u{i:02d}", f"doc {i} header {shared} doc {i} footer") for i in range(40)]
+    rows.append(("zzz", "a lonely document sharing no long run with any other"))
+    docs = spark.createDataFrame(rows, "url string, text string")
+    edges = suffix.substring_edges(docs, "text", "url", min_len=48, max_group_docs=8)
+    got = [(r["key_l"], r["key_r"]) for r in edges.collect()]
+    assert len(got) < 780  # certificate, not the clique
+    parent = {u: u for u, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for l, r in got:
+        assert l != "zzz" and r != "zzz"
+        parent[find(l)] = find(r)
+    assert len({find(f"u{i:02d}") for i in range(40)}) == 1  # one component
 
 
 def test_fused_edges_equal_union_of_per_path_edges(signed):
