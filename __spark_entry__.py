@@ -51,7 +51,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # stage; recomputing it per query dominated the bench total. Deterministic
 # (fixed seed), so caching cannot change any result — it mirrors the real
 # deployment's persisted signature stage table (sources/checkpoint.py).
-_SIGNED_CACHE: dict[tuple[int, str], DataFrame] = {}
+# Keyed by applicationId, not id(spark): a stopped session's object id can
+# be REUSED by a later SparkSession (CPython recycles addresses), which
+# would hand out a DataFrame bound to a dead SparkContext. App ids are
+# unique per context and never revived; stale sessions' entries are
+# dropped on the next lookup so persisted tables don't pin memory forever.
+_SIGNED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _docs_with_signatures(spark, sf_dir):
@@ -61,10 +66,13 @@ def _docs_with_signatures(spark, sf_dir):
     the numeric order the DuckDB oracle uses."""
     from jira_duplicate_detection_turkcell__spark.operators import signatures
 
-    cache_key = (id(spark), sf_dir)
+    app_id = spark.sparkContext.applicationId
+    cache_key = (app_id, sf_dir)
     cached = _SIGNED_CACHE.get(cache_key)
     if cached is not None:
         return cached
+    for k in [k for k in _SIGNED_CACHE if k[0] != app_id]:
+        del _SIGNED_CACHE[k]  # entries of stopped sessions
     docs = _t(spark, sf_dir, "documents").select(
         F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"), "text"
     )

@@ -161,6 +161,13 @@ def _star_components(edges: DataFrame, max_iter: int = 40) -> DataFrame:
         if cur == prev:
             break
         prev = cur
+    else:
+        # never silent: un-converged stars are not per-component, so the
+        # extraction below would split components — the exact failure this
+        # fallback exists to prevent
+        raise RuntimeError(
+            f"star connected-components did not converge in {max_iter} rounds"
+        )
     # converged stars: every edge is (root=s, member=b); roots label themselves
     members = e.select(F.col("b").alias("node"), F.col("s").alias("cluster_id"))
     roots = e.select(F.col("s").alias("node"), F.col("s").alias("cluster_id")).distinct()

@@ -179,6 +179,22 @@ def _group_spans(pdf: pd.DataFrame, min_len: int) -> pd.DataFrame:
     )
 
 
+def _star_edges(fps: "DataFrame", key_col: str) -> "DataFrame":
+    """(key, fp) postings → distinct per-fingerprint star edges (key_l,
+    key_r) with key_l = the fingerprint group's min key (so key_l < key_r
+    by construction). Connected components of the star graph equal those
+    of the full share-a-fingerprint pair graph at O(postings) rows."""
+    reps = fps.groupBy("fp").agg(
+        F.min(key_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        fps.join(reps.where(F.col("_n") > 1), "fp")
+        .where(F.col(key_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("key_l"), F.col(key_col).alias("key_r"))
+        .distinct()
+    )
+
+
 def substring_edges(
     docs: DataFrame,
     text_col: str = "text",
@@ -244,17 +260,8 @@ def substring_edges(
         fps = fpdf.select(
             F.col(key_col), F.explode("fingerprints").alias("fp")
         ).distinct().persist()
-        reps = fps.groupBy("fp").agg(
-            F.min(key_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
-        )
-        star = (
-            fps.join(reps.where(F.col("_n") > 1), "fp")
-            .where(F.col(key_col) != F.col("_rep"))
-            .select(F.col("_rep").alias("key_l"), F.col(key_col).alias("key_r"))
-            .distinct()
-        )
         pairs = None  # groups are exact; no per-pair nomination needed
-        grouping_edges = star.persist()
+        grouping_edges = _star_edges(fps, key_col).persist()
     else:
         pairs, _hot = fingerprint_candidate_pairs(
             docs, text_col, key_col, min_len, sample, max_bucket_size
@@ -323,17 +330,7 @@ def substring_edges(
         F.col(key_col),
         F.explode(fingerprints(F.col(text_col), min_len, sample)).alias("fp"),
     ).distinct()
-    cert_reps = cert_fps.groupBy("fp").agg(
-        F.min(key_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
-    )
-    big_edges = (
-        cert_fps.join(cert_reps.where(F.col("_n") > 1), "fp")
-        .where(F.col(key_col) != F.col("_rep"))
-        .select(
-            F.col("_rep").alias("key_l"),  # _rep = group min ⇒ key_l < key_r
-            F.col(key_col).alias("key_r"),
-            F.lit(min_len).cast("long").alias("span_len"),
-        )
-        .distinct()
+    big_edges = _star_edges(cert_fps, key_col).withColumn(
+        "span_len", F.lit(min_len).cast("long")
     )
     return small_edges.unionByName(big_edges)

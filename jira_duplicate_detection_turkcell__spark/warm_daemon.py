@@ -40,7 +40,10 @@ def patch_zipimport_invalidate() -> None:
     the scaling headroom at every width. The archives cannot change inside
     a running job (spark-submit ships them once), so re-reading is only
     needed when (mtime, size) actually moved — exactly what this guard
-    checks. A genuinely updated zip still invalidates correctly.
+    checks. A genuinely updated zip still invalidates correctly unless it
+    was replaced byte-for-byte-same-size with its mtime deliberately
+    preserved to nanosecond precision — not a deployment that exists for
+    spark-submit-shipped archives.
     """
     import os
     import zipimport
@@ -64,19 +67,22 @@ def patch_zipimport_invalidate() -> None:
         zipimport.zipimporter.invalidate_caches = stat_guarded
 
 
-patch_zipimport_invalidate()
-
-# Prime the guard on every finder that already exists in THIS process: the
-# forked workers inherit the primed state copy-on-write, so their per-task
-# importlib.invalidate_caches() costs a handful of stat() calls, nothing
-# else. (Finders created later — e.g. --py-files zips added by
-# setup_spark_files — pay one directory read per worker, then hit the
-# guard.)
-import importlib
-
-importlib.invalidate_caches()
-
-from pyspark.daemon import manager
-
 if __name__ == "__main__":
+    # Only the actual daemon launch (`python -m …warm_daemon` via
+    # spark.python.daemon.module) patches stdlib behavior — importing this
+    # module (tests, tooling) must not change the importing process.
+    patch_zipimport_invalidate()
+
+    # Prime the guard on every finder that already exists in THIS process:
+    # the forked workers inherit the primed state copy-on-write, so their
+    # per-task importlib.invalidate_caches() costs a handful of stat()
+    # calls, nothing else. (Finders created later — e.g. --py-files zips
+    # added by setup_spark_files — pay one directory read per worker, then
+    # hit the guard.)
+    import importlib
+
+    importlib.invalidate_caches()
+
+    from pyspark.daemon import manager
+
     manager()

@@ -16,16 +16,24 @@ from __future__ import annotations
 import os
 import sys
 import time
-from multiprocessing import Process, Queue
+from multiprocessing import Queue  # typing only; run_level uses the spawn context
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+# allocator tunables are read ONCE at glibc initialization: setting them
+# inside worker() was a no-op, and even parent-side env doesn't help
+# fork()ed children (they inherit the already-initialized allocator).
+# Set them here and use the SPAWN start method below — spawned workers
+# exec a fresh interpreter that genuinely reads these, matching the
+# session.py worker environment.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+
+
 def worker(parquet_path: str, q: Queue) -> None:
-    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
-    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
     import pandas as pd
 
     from jira_duplicate_detection_turkcell__spark.operators.signatures import (
@@ -48,8 +56,11 @@ def worker(parquet_path: str, q: Queue) -> None:
 
 
 def run_level(procs: int, parquet_path: str) -> float:
-    q: Queue = Queue()
-    ps = [Process(target=worker, args=(parquet_path, q)) for _ in range(procs)]
+    import multiprocessing
+
+    ctx = multiprocessing.get_context("spawn")
+    q = ctx.Queue()
+    ps = [ctx.Process(target=worker, args=(parquet_path, q)) for _ in range(procs)]
     t0 = time.time()
     for p in ps:
         p.start()

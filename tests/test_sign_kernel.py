@@ -114,8 +114,11 @@ def test_zipimport_invalidate_stat_guard(tmp_path):
     import zipfile
     import zipimport
 
-    from jira_duplicate_detection_turkcell__spark import warm_daemon  # noqa: F401  (applies patch)
+    from jira_duplicate_detection_turkcell__spark import warm_daemon
 
+    # importing must NOT patch; only explicit activation (the daemon's
+    # __main__ path) does
+    warm_daemon.patch_zipimport_invalidate()
     assert getattr(zipimport.zipimporter.invalidate_caches, "_jdt_patch", False)
     zp = tmp_path / "m.zip"
     with zipfile.ZipFile(zp, "w") as z:
