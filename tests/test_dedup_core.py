@@ -341,3 +341,26 @@ def test_generation_invariant_to_partitioning(spark):
     a = synth.generate_pages_df(spark, 64, seed=42, partitions=2).orderBy("url").collect()
     b = synth.generate_pages_df(spark, 64, seed=42, partitions=13).orderBy("url").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_substring_sampled_mode_subset_and_long_run_recall(spark):
+    # sample>1 under-nominates by design (documented contract); verify the
+    # sampled path end-to-end: output pairs are a subset of truth, pairs
+    # sharing a VERY long run (>> min_len + sample*E[gap]) are still found,
+    # and the oversized branch's certificate uses the sampled fingerprints
+    from jira_duplicate_detection_turkcell__spark.operators import suffix
+
+    shared = ("shared boilerplate sentence that is repeated verbatim across "
+              "documents and is far longer than the minimum run length " * 3)
+    rows = [
+        ("a", f"alpha {shared} tail-a"),
+        ("b", f"bravo {shared} tail-b"),
+        ("c", "completely unrelated text with no long shared run at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    for mgd in (256, 1):  # small-group SA path AND oversized certificate path
+        edges = suffix.substring_edges(
+            docs, "text", "url", min_len=48, sample=4, max_group_docs=mgd
+        )
+        got = {(r["key_l"], r["key_r"]) for r in edges.collect()}
+        assert got == {("a", "b")}, (mgd, got)
