@@ -39,6 +39,44 @@ def fingerprints(text, length: int = 32, sample: int = 1):
     return F.filter(sh, lambda h: F.pmod(h, F.lit(sample)) == 0)
 
 
+def substring_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "url",
+    min_len: int = 32,
+    sample: int = 1,
+) -> DataFrame:
+    """(key, fp) distinct fingerprint postings — the substring path's
+    nomination table and its ONLY incremental state (committed as the
+    ``substr_postings`` stage by checkpointed runs; ``apply_append`` joins
+    an appended batch's postings against it instead of re-winnowing the
+    corpus).
+
+    ``sample <= 1`` → winnowed rolling-hash fingerprints with the exact
+    recall guarantee (k = min_len − w + 1, window w: any shared run of
+    ≥ min_len chars shares a posting VALUE — see the winnowing note in
+    ``substring_edges``). ``sample > 1`` → mod-sampled min_len-gram hashes
+    (the documented sampled-recall contract in the module docstring).
+    Postings are a pure per-doc function, so an append never changes the
+    existing rows — state maintenance is a blind union.
+    """
+    slim = docs.select(F.col(key_col), F.col(text_col))
+    if sample <= 1:
+        from .winnow import winnow_fingerprints
+
+        w = max(2, min(16, min_len // 3))
+        fpdf = winnow_fingerprints(
+            slim, text_col, key_col, k=min_len - w + 1, window=w
+        )
+        return fpdf.select(
+            F.col(key_col), F.explode("fingerprints").alias("fp")
+        ).distinct()
+    return slim.select(
+        F.col(key_col),
+        F.explode(fingerprints(F.col(text_col), min_len, sample)).alias("fp"),
+    ).distinct()
+
+
 def fingerprint_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -46,18 +84,22 @@ def fingerprint_candidate_pairs(
     length: int = 32,
     sample: int = 1,
     max_bucket_size: int = 200,
+    fps: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Docs sharing ≥1 fingerprint → candidate pairs + salted-fp lineage.
 
     Hot fingerprints (boilerplate shared by >cap docs) are salted, not
     dropped (operators/buckets.py) — full recall, bounded per-task work.
+    Pass ``fps`` (a ``substring_postings`` table) to reuse precomputed
+    postings instead of re-fingerprinting ``docs``.
     """
     from .buckets import salted_bucket_pairs
 
-    fps = docs.select(
-        F.col(key_col),
-        F.explode(fingerprints(F.col(text_col), length, sample)).alias("fp"),
-    ).distinct()
+    if fps is None:
+        fps = docs.select(
+            F.col(key_col),
+            F.explode(fingerprints(F.col(text_col), length, sample)).alias("fp"),
+        ).distinct()
     pairs, hot = salted_bucket_pairs(fps, ["fp"], key_col, max_bucket_size)
     return pairs.distinct(), hot
 
@@ -203,8 +245,11 @@ def substring_edges(
     sample: int = 1,
     max_bucket_size: int = 200,
     max_group_docs: int = 256,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Verified exact-shared-substring edges (key_l, key_r, span_len).
+    Pass ``postings`` (a committed ``substring_postings`` stage) to skip
+    re-fingerprinting ``docs``.
 
     Plan: the fingerprint table nominates candidate GROUPS (connected
     components of the share-a-fingerprint relation), each doc's text is
@@ -232,13 +277,11 @@ def substring_edges(
     pair's longest common substring (changed from the round-1 per-pair
     adjacent-LCP max).
     """
-    from .components import connected_components
-
     slim = docs.select(F.col(key_col), F.col(text_col))
 
-    if sample <= 1:
-        # Exact-recall nomination via WINNOWED fingerprints, not one
-        # fingerprint per character position. The classic winnowing
+    if postings is None:
+        # Exact-recall nomination (sample <= 1) via WINNOWED fingerprints,
+        # not one fingerprint per character position. The classic winnowing
         # guarantee (operators/winnow.py module docstring): with k-byte
         # grams and window-w minima, any shared run of ≥ k + w − 1 bytes
         # shares a selected fingerprint VALUE — so k = min_len − w + 1
@@ -251,23 +294,46 @@ def substring_edges(
         # sharing a ≥k-byte-but-<min_len run can land in one group — and
         # the per-group suffix array rejects exactly those, so the output
         # pair set is unchanged; pinned by the brute-force equality tests).
-        from .winnow import winnow_fingerprints
+        postings = substring_postings(slim, text_col, key_col, min_len, sample)
 
-        w = max(2, min(16, min_len // 3))
-        fpdf = winnow_fingerprints(
-            slim, text_col, key_col, k=min_len - w + 1, window=w
-        )
-        fps = fpdf.select(
-            F.col(key_col), F.explode("fingerprints").alias("fp")
-        ).distinct().persist()
+    if sample <= 1:
+        fps = postings.persist()
         pairs = None  # groups are exact; no per-pair nomination needed
         grouping_edges = _star_edges(fps, key_col).persist()
     else:
         pairs, _hot = fingerprint_candidate_pairs(
-            docs, text_col, key_col, min_len, sample, max_bucket_size
+            docs, text_col, key_col, min_len, sample, max_bucket_size,
+            fps=postings,
         )
         pairs = pairs.persist()
         grouping_edges = pairs
+
+    return _grouped_verify(
+        grouping_edges, slim, key_col, text_col, min_len, sample,
+        max_group_docs, pairs,
+    )
+
+
+def _grouped_verify(
+    grouping_edges: DataFrame,
+    slim: DataFrame,
+    key_col: str,
+    text_col: str,
+    min_len: int,
+    sample: int,
+    max_group_docs: int,
+    pairs: DataFrame | None,
+) -> DataFrame:
+    """Nomination graph → verified substring edges (key_l, key_r, span_len).
+
+    Shared tail of the batch (`substring_edges`) and incremental
+    (`incremental_substring_edges`) paths: connected-components-group the
+    nomination edges, run one suffix array per small group (each member's
+    text shipped once), and emit spanning-certificate star edges for
+    oversized near-clique components. ``pairs`` (sampled mode only)
+    restricts small-group output to nominated pairs.
+    """
+    from .components import connected_components
 
     nodes = (
         grouping_edges.select(F.col("key_l").alias(key_col))
@@ -334,3 +400,100 @@ def substring_edges(
         "span_len", F.lit(min_len).cast("long")
     )
     return small_edges.unionByName(big_edges)
+
+
+def incremental_substring_edges(
+    docs: DataFrame,
+    new_docs: DataFrame,
+    existing_postings: DataFrame,
+    text_col: str = "text",
+    key_col: str = "url",
+    min_len: int = 32,
+    sample: int = 1,
+    max_bucket_size: int = 200,
+    max_group_docs: int = 256,
+) -> tuple[DataFrame, DataFrame]:
+    """Substring edges touching ≥1 NEW doc + the updated postings state.
+
+    The incremental-append analog of ``substring_edges`` (the reference's
+    append path rebuilds everything, api_server.py:848-877 — append ≡
+    rebuild is its consistency contract; this keeps the contract while
+    fingerprinting only the appended batch). ``docs`` carries (key, text)
+    for existing ∪ new (texts are shipped only for touched groups),
+    ``new_docs`` the appended batch, ``existing_postings`` the persisted
+    ``substring_postings`` state of the existing corpus.
+
+    Why this is exact: "share a run of ≥ min_len chars" is a PAIRWISE
+    property certified by a shared fingerprint VALUE (winnowing guarantee
+    at sample<=1; sampled contract otherwise), so (a) old×old edges are
+    untouched by an append — the existing edge state already covers them —
+    and (b) every edge touching a new doc is witnessed by a fingerprint
+    value present in the NEW batch's postings. Restricting the nomination
+    graph to postings whose fp appears in the new batch (one semi-join)
+    therefore loses nothing; the per-group suffix array then verifies
+    exactly as in batch. Grouping uses the same O(postings) star-edge
+    construction as the batch path rather than a pairwise new×all bucket
+    join — pairwise nomination on a boilerplate fingerprint shared by the
+    batch AND 10⁵ corpus docs is the Ω(n·m) blowup the batch path already
+    removed; the star/CC/SA route caps it at O(touched postings). In
+    sampled mode (no grouping-exactness guarantee) nomination IS pairwise
+    by contract, and runs through ``salted_bipartite_pairs`` — both sides
+    salted, bounded cells, zero drops.
+
+    Oversized touched components emit the same spanning-certificate star
+    edges as batch (true edges, span_len = min_len lower bound). All exact-
+    mode output is then restricted to new-touching pairs: old×old rows —
+    SA re-derivations or certificate edges alike — are true pairs, hence
+    already connected in the existing edge state (every certificate edge
+    joins two docs sharing a min_len-gram, a pair the PRIOR run's output
+    connects by its own CC-equivalence contract), so dropping them changes
+    neither the edge-union semantics nor the clusters.
+    """
+    from .buckets import salted_bipartite_pairs
+
+    slim = docs.select(F.col(key_col), F.col(text_col))
+    new_slim = new_docs.select(F.col(key_col), F.col(text_col))
+    new_post = substring_postings(
+        new_slim, text_col, key_col, min_len, sample
+    ).persist()
+    all_post = existing_postings.select(key_col, "fp").unionByName(new_post)
+    # only fingerprint VALUES present in the new batch can witness an edge
+    # touching a new doc
+    touched = all_post.join(
+        new_post.select("fp").distinct(), "fp", "left_semi"
+    ).persist()
+
+    if sample <= 1:
+        grouping_edges = _star_edges(touched, key_col).persist()
+        pairs = None
+    else:
+        pairs, _hot = salted_bipartite_pairs(
+            new_post, touched, ["fp"], key_col, max_bucket_size
+        )
+        pairs = pairs.distinct().persist()
+        grouping_edges = pairs
+
+    edges = _grouped_verify(
+        grouping_edges, slim, key_col, text_col, min_len, sample,
+        max_group_docs, pairs,
+    )
+    # drop old×old rows (exact-mode SA re-derivations and certificate star
+    # edges in either mode) — complete/connected in the existing state per
+    # the docstring argument
+    nk = new_slim.select(F.col(key_col))
+    edges = (
+        edges.join(
+            F.broadcast(nk.withColumnRenamed(key_col, "key_l")),
+            "key_l",
+            "left_semi",
+        )
+        .unionByName(
+            edges.join(
+                F.broadcast(nk.withColumnRenamed(key_col, "key_r")),
+                "key_r",
+                "left_semi",
+            )
+        )
+        .distinct()
+    )
+    return edges, all_post

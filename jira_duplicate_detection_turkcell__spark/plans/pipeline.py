@@ -57,6 +57,9 @@ class DedupConfig:
     substr_min_len: int = 48
     substr_sample: int = 1
     substr_bucket_cap: int = 200
+    # components larger than this degrade to spanning-certificate star
+    # edges instead of O(n²) SA pairs (operators/suffix.py oversized branch)
+    substr_max_group_docs: int = 256
     # seeds
     minhash_seed: int = 7
 
@@ -347,9 +350,18 @@ def verify_fused_pairs(
     )
 
 
-def substring_edges(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+def substring_edges(
+    docs: DataFrame, cfg: DedupConfig, postings: DataFrame | None = None
+) -> DataFrame:
     return suffix.substring_edges(
-        docs, "text", "url", cfg.substr_min_len, cfg.substr_sample, cfg.substr_bucket_cap
+        docs,
+        "text",
+        "url",
+        cfg.substr_min_len,
+        cfg.substr_sample,
+        cfg.substr_bucket_cap,
+        cfg.substr_max_group_docs,
+        postings=postings,
     )
 
 
@@ -423,10 +435,20 @@ def run_dedup(
                 )
             )
         if cfg.enable_substring:
+            # the postings table is the substring path's incremental-append
+            # state (streaming/incremental.apply_append) — commit it as its
+            # own stage so an append run loads it instead of re-winnowing
+            # the corpus
+            postings = stage(
+                "substr_postings",
+                lambda: suffix.substring_postings(
+                    sign_input, "text", "url", cfg.substr_min_len, cfg.substr_sample
+                ),
+            )
             edge_parts.append(
                 stage(
                     "edges_substring",
-                    lambda: substring_edges(sign_input, cfg).select(
+                    lambda: substring_edges(sign_input, cfg, postings=postings).select(
                         "key_l", "key_r"
                     ),
                 )

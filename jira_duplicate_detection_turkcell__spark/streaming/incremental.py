@@ -21,10 +21,13 @@ are a pure function of each document alone, so an appended batch only needs
 
 Every edge kind the batch pipeline has enabled is maintained here, so
 append == full-rerun holds with simhash on (round 2 only maintained the
-MinHash kind, silently diverging once simhash edges existed). The one
-exception is the substring path: its state (document texts / fingerprint
-postings) is not part of the signature table, so ``enable_substring`` is
-rejected at the API boundary rather than silently dropped.
+MinHash kind, silently diverging once simhash edges existed) AND with the
+substring kind on (round 3 rejected it at the API boundary): the substring
+path's state is the winnowed fingerprint postings table — committed as the
+``substr_postings`` stage by checkpointed runs — and an append winnows only
+the new docs, semi-joins the state on the new fingerprint values, and
+group-SA-verifies exactly as the batch path does
+(operators/suffix.incremental_substring_edges).
 
 Hot buckets on this path are SALTED via the bipartite generator
 (operators/buckets.salted_bipartite_pairs): both sides split into hash
@@ -39,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from ..operators import suffix
 from ..operators.buckets import salted_bipartite_pairs
 from ..operators.components import connected_components
 from ..plans.pipeline import (
@@ -56,20 +60,31 @@ def sign_new_batch(new_pages: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def incremental_edges(
-    existing_signed: DataFrame, new_signed: DataFrame, cfg: DedupConfig
+    existing_signed: DataFrame,
+    new_signed: DataFrame,
+    cfg: DedupConfig,
+    substring_handled: bool = False,
 ) -> DataFrame:
-    """Verified edges touching at least one new doc, ALL enabled kinds.
+    """Verified SIGNATURE-kind edges touching at least one new doc.
 
     The new side's bucket rows (bands + simhash chunk-pair keys) are joined
     against the bucket rows of (existing ∪ new); the existing×existing
     quadrant is never recomputed. Skew posture matches the batch path: hot
     buckets are salted into bounded bipartite cells, never dropped.
+
+    The substring edge kind lives outside the signature table (its state is
+    the fingerprint postings) and is maintained by ``apply_append`` via
+    ``suffix.incremental_substring_edges``; calling this function alone
+    under ``enable_substring`` raises unless the caller asserts it combines
+    the kinds itself (``substring_handled=True``) — silent partial
+    maintenance is the round-2 bug class this guard exists to prevent.
     """
-    if cfg.enable_substring:
+    if cfg.enable_substring and not substring_handled:
         raise ValueError(
-            "incremental append does not maintain the substring edge kind "
-            "(its state is the document texts, not the signature table); "
-            "disable enable_substring or run a batch rebuild"
+            "incremental_edges maintains only the signature edge kinds; "
+            "with enable_substring use apply_append (which also runs "
+            "incremental_substring_edges), or pass substring_handled=True "
+            "if you union the substring edges yourself"
         )
     all_signed = existing_signed.select(*new_signed.columns).unionByName(new_signed)
     buckets_all, carry = fused_bucket_table(all_signed, cfg)
@@ -91,15 +106,61 @@ def apply_append(
     existing_edges: DataFrame,
     new_pages: DataFrame,
     cfg: DedupConfig,
+    existing_docs: DataFrame | None = None,
+    existing_postings: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
-    """One append step → updated {'signed', 'edges', 'clusters'}."""
-    new_signed = sign_new_batch(new_pages, cfg).localCheckpoint()
-    new_edges = (
-        incremental_edges(existing_signed, new_signed, cfg)
-        .select("key_l", "key_r")
-        .localCheckpoint()
-    )
+    """One append step → updated {'signed', 'edges', 'clusters'} (+ 'docs'
+    and 'postings' when the substring kind is enabled — thread them into
+    the next append).
+
+    With ``enable_substring``, ``existing_docs`` (url, text — the prior
+    run's docs stage) is required; ``existing_postings`` is the committed
+    ``substr_postings`` stage (recomputed from ``existing_docs`` when
+    absent, e.g. a prior in-memory run that didn't keep it).
+    """
+    new_docs = extract_stage(new_pages).localCheckpoint()
+    new_signed = signature_stage(new_docs, cfg).localCheckpoint()
+    new_edges = incremental_edges(
+        existing_signed, new_signed, cfg, substring_handled=cfg.enable_substring
+    ).select("key_l", "key_r")
+
+    all_docs = postings = None
+    if cfg.enable_substring:
+        if existing_docs is None:
+            raise ValueError(
+                "incremental append with enable_substring needs "
+                "existing_docs (url, text) — the docs stage of the prior "
+                "run — and ideally existing_postings (the committed "
+                "substr_postings stage)"
+            )
+        all_docs = (
+            existing_docs.select("url", "text")
+            .unionByName(new_docs.select("url", "text"))
+            .persist()
+        )
+        if existing_postings is None:
+            existing_postings = suffix.substring_postings(
+                existing_docs, "text", "url", cfg.substr_min_len, cfg.substr_sample
+            )
+        sub_edges, postings = suffix.incremental_substring_edges(
+            all_docs,
+            new_docs,
+            existing_postings,
+            "text",
+            "url",
+            cfg.substr_min_len,
+            cfg.substr_sample,
+            cfg.substr_bucket_cap,
+            cfg.substr_max_group_docs,
+        )
+        new_edges = new_edges.unionByName(sub_edges.select("key_l", "key_r"))
+
+    new_edges = new_edges.localCheckpoint()
     signed = existing_signed.select(*new_signed.columns).unionByName(new_signed)
     edges = existing_edges.select("key_l", "key_r").unionByName(new_edges).distinct()
     clusters = connected_components(edges, signed.select("url"), "url")
-    return {"signed": signed, "edges": edges, "clusters": clusters}
+    out = {"signed": signed, "edges": edges, "clusters": clusters}
+    if cfg.enable_substring:
+        out["docs"] = all_docs
+        out["postings"] = postings
+    return out

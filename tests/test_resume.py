@@ -71,3 +71,35 @@ def test_manifest_lineage_metrics(spark, pages, tmp_path_factory):
     assert docs_manifest.row_count > 0
     assert len(docs_manifest.partition_rows) >= 1
     assert docs_manifest.schema_ddl.startswith("struct<")
+
+
+def test_append_from_committed_postings_state(spark, pages, tmp_path_factory):
+    """Checkpointed substring run commits substr_postings; an append loads
+    that stage as its state (never re-winnowing the corpus) and matches a
+    full rebuild."""
+    from jira_duplicate_detection_turkcell__spark.streaming import incremental
+
+    cfg = P.DedupConfig(
+        enable_substring=True, minhash_bucket_cap=10_000, simhash_bucket_cap=10_000
+    )
+    pdf = synth.generate_pages_pdf(96, seed=42)
+    batch2 = (pdf.index % 3) == 2  # interleaved: old×new substring edges exist
+
+    root = tmp_path_factory.mktemp("ckpt_append")
+    store = StageStore(root)
+    base = P.run_dedup(spark, spark.createDataFrame(pdf[~batch2]), cfg, store)
+    assert store.is_committed("substr_postings")
+
+    upd = incremental.apply_append(
+        base["signatures"],
+        base["edges"],
+        spark.createDataFrame(pdf[batch2]),
+        cfg,
+        existing_docs=store.load(spark, "docs"),
+        existing_postings=store.load(spark, "substr_postings"),
+    )
+    full = P.run_dedup(spark, spark.createDataFrame(pdf), cfg)
+    assert _assignments(upd) == _assignments(full)
+    inc_edges = {(r["key_l"], r["key_r"]) for r in upd["edges"].collect()}
+    full_edges = {(r["key_l"], r["key_r"]) for r in full["edges"].collect()}
+    assert inc_edges == full_edges

@@ -80,22 +80,44 @@ def test_streaming_signatures_match_batch(spark, tmp_path):
         # caps of 2: every bucket trips the cap, the whole append runs
         # through salted bipartite cells — results must be identical
         P.DedupConfig(minhash_bucket_cap=2, simhash_bucket_cap=2),
+        # substring kind ON (round 3 rejected it at the API boundary):
+        # append must maintain the winnowed-postings state and emit the
+        # same exact substring edges a rebuild would
+        P.DedupConfig(
+            enable_substring=True, minhash_bucket_cap=10_000, simhash_bucket_cap=10_000
+        ),
+        # sampled substring mode: nomination runs through the salted
+        # bipartite new×all postings join
+        P.DedupConfig(
+            enable_substring=True,
+            substr_sample=3,
+            substr_min_len=32,
+            minhash_bucket_cap=10_000,
+            simhash_bucket_cap=10_000,
+        ),
     ],
-    ids=["simhash_on", "hot_buckets_salted"],
+    ids=["simhash_on", "hot_buckets_salted", "substring_on", "substring_sampled"],
 )
 def test_incremental_append_equals_full_rerun(spark, cfg):
     """Split the corpus; batch 1 + incremental batch 2 must equal one full run."""
     pdf = synth.generate_pages_pdf(96, seed=42)
     pages_all = spark.createDataFrame(pdf)
-    pages_1 = spark.createDataFrame(pdf.iloc[:64])
-    pages_2 = spark.createDataFrame(pdf.iloc[64:])
+    # interleaved split: the synth corpus groups near-dup chains
+    # contiguously, so a head/tail split has NO old×new edges — every
+    # third row goes to the append batch instead (40 cross-boundary + 7
+    # new×new substring edges at these settings, measured)
+    batch2 = (pdf.index % 3) == 2
+    pages_1 = spark.createDataFrame(pdf[~batch2])
+    pages_2 = spark.createDataFrame(pdf[batch2])
 
     full = P.run_dedup(spark, pages_all, cfg)
     full_assign = {r["url"]: r["cluster_id"] for r in full["clusters"].collect()}
     full_edges = {(r["key_l"], r["key_r"]) for r in full["edges"].collect()}
 
     base = P.run_dedup(spark, pages_1, cfg)
-    upd = incremental.apply_append(base["signatures"], base["edges"], pages_2, cfg)
+    upd = incremental.apply_append(
+        base["signatures"], base["edges"], pages_2, cfg, existing_docs=base["docs"]
+    )
     inc_assign = {r["url"]: r["cluster_id"] for r in upd["clusters"].collect()}
     inc_edges = {(r["key_l"], r["key_r"]) for r in upd["edges"].collect()}
 
@@ -103,11 +125,60 @@ def test_incremental_append_equals_full_rerun(spark, cfg):
     assert inc_assign == full_assign
 
 
-def test_incremental_rejects_substring_kind(spark):
+def test_incremental_edges_alone_still_rejects_substring_kind(spark):
+    # incremental_edges maintains only the signature kinds; calling it
+    # directly under enable_substring must stay loud (apply_append is the
+    # full-config API — it passes substring_handled=True and unions the
+    # substring edges from incremental_substring_edges)
     pdf = synth.generate_pages_pdf(16, seed=42)
     cfg = P.DedupConfig(enable_substring=True)
     base = P.run_dedup(spark, spark.createDataFrame(pdf.iloc[:8]), P.DedupConfig())
+    new_signed = incremental.sign_new_batch(spark.createDataFrame(pdf.iloc[8:]), cfg)
     with pytest.raises(ValueError, match="substring"):
+        incremental.incremental_edges(base["signatures"], new_signed, cfg)
+
+
+def test_incremental_substring_certificate_clusters_equal(spark):
+    """Oversized components (spanning-certificate branch) under append.
+
+    With substr_max_group_docs=4 this corpus has 3 components over the cap
+    (max size 8, measured), so both the full rerun and the append emit
+    certificate star edges. Edge SETS legitimately differ (a certificate is
+    a spanning subgraph, and its fp-representatives depend on the member
+    set), but the clusters — the consistency contract, and all the
+    reference's append path preserves (api_server.py:848-877) — must be
+    identical.
+    """
+    cfg = P.DedupConfig(
+        enable_substring=True,
+        substr_max_group_docs=4,
+        minhash_bucket_cap=10_000,
+        simhash_bucket_cap=10_000,
+    )
+    pdf = synth.generate_pages_pdf(96, seed=42)
+    batch2 = (pdf.index % 3) == 2
+    full = P.run_dedup(spark, spark.createDataFrame(pdf), cfg)
+    base = P.run_dedup(spark, spark.createDataFrame(pdf[~batch2]), cfg)
+    upd = incremental.apply_append(
+        base["signatures"],
+        base["edges"],
+        spark.createDataFrame(pdf[batch2]),
+        cfg,
+        existing_docs=base["docs"],
+    )
+    full_assign = {r["url"]: r["cluster_id"] for r in full["clusters"].collect()}
+    inc_assign = {r["url"]: r["cluster_id"] for r in upd["clusters"].collect()}
+    # same partition of urls into clusters (ids are representative-based and
+    # may differ between runs only if representatives differ — they don't,
+    # labels are min-url, so direct equality holds)
+    assert inc_assign == full_assign
+
+
+def test_incremental_substring_requires_docs_state(spark):
+    pdf = synth.generate_pages_pdf(16, seed=42)
+    cfg = P.DedupConfig(enable_substring=True)
+    base = P.run_dedup(spark, spark.createDataFrame(pdf.iloc[:8]), cfg)
+    with pytest.raises(ValueError, match="existing_docs"):
         incremental.apply_append(
             base["signatures"], base["edges"], spark.createDataFrame(pdf.iloc[8:]), cfg
         )
