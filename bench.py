@@ -63,6 +63,7 @@ def run_pages_pipeline(spark, n_docs: int) -> tuple[float, int]:
 
     cfg = P.DedupConfig()
     tmp = tempfile.mkdtemp(prefix="bench_pages_")
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         path = f"{tmp}/pages.parquet"
         synth.generate_pages_df(
@@ -74,6 +75,8 @@ def run_pages_pipeline(spark, n_docs: int) -> tuple[float, int]:
         # straggler-bound wave — but an explicit repartition pays a full
         # shuffle of the raw html corpus. 4 MB splits give fine-grained
         # waves for free and are identical at every parallelism level.
+        # Scoped to this workload: restored below so query plans are
+        # identical no matter where the pipeline runs in the bench order.
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
         pages = spark.read.parquet(path)
         t0 = time.time()
@@ -81,6 +84,7 @@ def run_pages_pipeline(spark, n_docs: int) -> tuple[float, int]:
         n_clusters = result["clusters"].select("cluster_id").distinct().count()
         return time.time() - t0, n_clusters
     finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
         shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -43,15 +43,25 @@ def knn_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus (self excluded).
 
     The query side is broadcast — it is small by contract (the reference caps
     top_k at 50 and serves one query at a time; here the whole query batch
-    rides the broadcast, and the corpus never shuffles).
+    rides the broadcast, and the corpus never shuffles). ``max_query_rows``
+    enforces that contract (mirroring ``cosine_pairs.max_rows``): beyond it
+    the broadcast × corpus scan is O(Q·N) work behind one executor-memory
+    bound, and the IVF path is the right tool.
     """
     from pyspark.sql.window import Window
 
+    n_q = queries.count()
+    assert n_q <= max_query_rows, (
+        f"knn_topk broadcasts the query side (n_queries={n_q} > "
+        f"max_query_rows={max_query_rows}); use operators/ivf.ivf_topk for "
+        f"large query batches"
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )

@@ -9,9 +9,17 @@ is exactly 1 — this is the truth-producing path the probabilistic MinHash
 path is measured against.
 
 At scale the gram join inherits the same skew reality as LSH buckets
-(stop-gram mega-postings); ``max_posting_size`` caps posting lists with a
-broadcast anti-join, trading bounded recall loss for bounded work — at the
-default (disabled) the operator is exact.
+(stop-gram mega-postings). ``max_posting_size`` routes the postings through
+the shared salting generator (operators/buckets.py): a posting list of m
+docs is split into ceil(m/cap) hash groups whose triangular grid of cells
+each land in their own shuffle partition — per-task work bounded by ~cap²
+at any skew, and the per-pair intersection count is EXACT (every unordered
+pair still co-occurs exactly once per shared gram, just in a salted cell).
+Round 3 capped-and-dropped hot postings here — the one surviving instance
+of the drop pattern the engine banned everywhere else; salting keeps the
+operator exact at every setting. Unset (None), the plain self-join runs
+with zero extra jobs — correct but unguarded against Ω(Σp²) stop-gram
+blowup, so production configs should set a cap.
 """
 
 from __future__ import annotations
@@ -20,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.shingle import word_gram_strings
+from .buckets import salted_bucket_pairs
 
 
 def ngram_jaccard_pairs(
@@ -32,24 +41,33 @@ def ngram_jaccard_pairs(
     max_posting_size: int | None = None,
 ) -> DataFrame:
     """(id_l, id_r, n_common, sz_l, sz_r) for pairs with
-    Jaccard ≥ threshold_num/threshold_den (exact, integer arithmetic)."""
+    Jaccard ≥ threshold_num/threshold_den (exact, integer arithmetic).
+
+    ``max_posting_size`` bounds per-task join work by salting hot gram
+    postings (exact at every value — see module docstring); ``None`` runs
+    the plain inverted-index self-join.
+    """
     grams = docs.select(
         F.col(id_col).alias("gid"),
         F.explode(word_gram_strings(F.col(text_col), n)).alias("g"),
     )
-    if max_posting_size is not None:
-        sizes = grams.groupBy("g").count()
-        hot = sizes.filter(F.col("count") > max_posting_size)
-        grams = grams.join(F.broadcast(hot.select("g")), ["g"], "left_anti")
-
     set_sizes = grams.groupBy("gid").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        grams.alias("a")
-        .join(grams.alias("b"), ["g"])
-        .where(F.col("a.gid") < F.col("b.gid"))
-        .groupBy(F.col("a.gid").alias("id_l"), F.col("b.gid").alias("id_r"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+
+    if max_posting_size is not None:
+        pairs, _hot = salted_bucket_pairs(grams, ["g"], "gid", max_posting_size)
+        inter = (
+            pairs.withColumnsRenamed({"key_l": "id_l", "key_r": "id_r"})
+            .groupBy("id_l", "id_r")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        inter = (
+            grams.alias("a")
+            .join(grams.alias("b"), ["g"])
+            .where(F.col("a.gid") < F.col("b.gid"))
+            .groupBy(F.col("a.gid").alias("id_l"), F.col("b.gid").alias("id_r"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sl = set_sizes.select(F.col("gid").alias("id_l"), F.col("sz").alias("sz_l"))
     sr = set_sizes.select(F.col("gid").alias("id_r"), F.col("sz").alias("sz_r"))
     return (

@@ -37,15 +37,31 @@ class StageManifest:
     partition_rows: dict[str, int]
     metrics: dict = field(default_factory=dict)
     schema_ddl: str = ""
+    file_count: int = 0
+    # True when partition_rows holds only the first `file_cap` files (by
+    # name) — row_count/file_count stay exact, computed executor-side
+    partition_rows_truncated: bool = False
 
 
 class StageStore:
-    """Parquet + manifest-JSON stage store with atomic-commit semantics."""
+    """Parquet + manifest-JSON stage store with atomic-commit semantics.
 
-    def __init__(self, root: str | Path, config_fingerprint: str = ""):
+    ``file_cap`` bounds the per-file lineage section of the manifest: a
+    100 TB stage writes 10⁵-10⁶ parquet files, and collecting one dict
+    entry per file would make the manifest (and the driver collect behind
+    it) grow with data size. Totals are aggregated executor-side and stay
+    exact at any file count; per-file rows are recorded for the first
+    ``file_cap`` files only, with ``partition_rows_truncated`` flagging the
+    cut — so the manifest is O(file_cap) bytes regardless of scale.
+    """
+
+    def __init__(
+        self, root: str | Path, config_fingerprint: str = "", file_cap: int = 1024
+    ):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         self.config_fingerprint = config_fingerprint
+        self.file_cap = file_cap
 
     # -- paths -------------------------------------------------------------
     def _data_dir(self, stage: str) -> Path:
@@ -64,22 +80,27 @@ class StageStore:
             shutil.rmtree(data_dir.parent)
         df.write.mode("overwrite").parquet(str(data_dir))
 
-        # per-partition lineage: rows per committed parquet file
+        # per-partition lineage: rows per committed parquet file, capped at
+        # file_cap entries (exact totals aggregated executor-side first —
+        # ONE 2-column row reaches the driver however many files exist)
         spark = df.sparkSession
         committed = spark.read.parquet(str(data_dir))
-        per_file = (
-            committed.groupBy(F.input_file_name().alias("file"))
-            .count()
-            .collect()
-        )
-        partition_rows = {Path(r["file"]).name: r["count"] for r in per_file}
+        per_file = committed.groupBy(F.input_file_name().alias("file")).count()
+        totals = per_file.agg(
+            F.count(F.lit(1)).alias("n_files"), F.sum("count").alias("n_rows")
+        ).collect()[0]
+        file_count = int(totals["n_files"] or 0)
+        head = per_file.orderBy("file").limit(self.file_cap).collect()
+        partition_rows = {Path(r["file"]).name: r["count"] for r in head}
         manifest = StageManifest(
             stage=stage,
             config_fingerprint=self.config_fingerprint,
-            row_count=sum(partition_rows.values()),
+            row_count=int(totals["n_rows"] or 0),
             partition_rows=partition_rows,
             metrics=metrics or {},
             schema_ddl=committed.schema.simpleString(),
+            file_count=file_count,
+            partition_rows_truncated=file_count > self.file_cap,
         )
         tmp = self._manifest_path(stage).with_suffix(".tmp")
         tmp.write_text(json.dumps(asdict(manifest), indent=2))

@@ -57,6 +57,33 @@ def test_ngram_jaccard_pairs_vs_python(docs):
     assert got == truth
 
 
+def test_ngram_jaccard_salted_posting_identical_to_uncapped(spark):
+    """Planted stop-gram mega-posting: every doc shares one 3-gram run, so
+    its posting (40 docs) trips cap=4 and the whole intersection count runs
+    through salted triangular cells (≤ ~cap² pair rows per task) — the full
+    (pair, n_common, sizes) output must equal the uncapped join's. cap=4 <
+    64 disables hot-detection sampling, so salting engages deterministically.
+    """
+    rows = [
+        (i, f"the common gram here plus unique{i} words w{i} x{i} y{i} z{i}")
+        for i in range(30)
+    ]
+    rows += [(i, "the common gram here alpha beta gamma delta") for i in range(30, 40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(cap):
+        return {
+            (r["id_l"], r["id_r"]): (r["n_common"], r["sz_l"], r["sz_r"])
+            for r in jaccard.ngram_jaccard_pairs(
+                docs, "doc_id", "text", 3, 1, 100, max_posting_size=cap
+            ).collect()
+        }
+
+    uncapped = run(None)
+    assert len(uncapped) == 40 * 39 // 2  # every pair shares the stop-gram
+    assert run(4) == uncapped
+
+
 def test_knn_topk_vs_numpy(emb):
     rows = emb.collect()
     vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}

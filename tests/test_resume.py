@@ -70,7 +70,32 @@ def test_manifest_lineage_metrics(spark, pages, tmp_path_factory):
     docs_manifest = store.manifest("docs")
     assert docs_manifest.row_count > 0
     assert len(docs_manifest.partition_rows) >= 1
+    assert docs_manifest.file_count == len(docs_manifest.partition_rows)
+    assert not docs_manifest.partition_rows_truncated
+    assert docs_manifest.row_count == sum(docs_manifest.partition_rows.values())
     assert docs_manifest.schema_ddl.startswith("struct<")
+
+
+def test_manifest_bounded_at_many_files(spark, tmp_path_factory):
+    """10⁴-file commit: per-file lineage is capped (file_cap entries), the
+    manifest stays small, and totals remain exact — the 100 TB posture for
+    the metadata path (a stage there writes 10⁵-10⁶ files; an unbounded
+    per-file dict would be a multi-hundred-MB driver collect + manifest)."""
+    root = tmp_path_factory.mktemp("ckpt_manyfiles")
+    store = StageStore(root, file_cap=256)
+    n_files = 10_000
+    df = spark.range(n_files * 3).repartition(n_files)
+    m = store.commit("wide", df)
+    assert m.row_count == n_files * 3
+    # ~1% of the round-robin partitions come out empty and write no
+    # row-bearing file — the exact count isn't the contract, the bound is
+    assert 9_000 <= m.file_count <= n_files
+    assert m.partition_rows_truncated
+    assert len(m.partition_rows) == 256
+    manifest_bytes = (root / "wide" / "MANIFEST.json").stat().st_size
+    assert manifest_bytes < 1_000_000
+    # reload path unaffected
+    assert store.load(spark, "wide").count() == n_files * 3
 
 
 def test_append_from_committed_postings_state(spark, pages, tmp_path_factory):
