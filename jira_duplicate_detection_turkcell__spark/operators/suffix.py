@@ -61,6 +61,10 @@ def substring_postings(
     existing rows — state maintenance is a blind union.
     """
     slim = docs.select(F.col(key_col), F.col(text_col))
+    # (key, fp) is globally unique by construction: each doc contributes ONE
+    # array row, so duplicates can only come from repeats WITHIN a doc —
+    # array_distinct removes them in-row, replacing what used to be a full
+    # shuffle-distinct of the exploded postings with zero exchanges
     if sample <= 1:
         from .winnow import winnow_fingerprints
 
@@ -69,12 +73,15 @@ def substring_postings(
             slim, text_col, key_col, k=min_len - w + 1, window=w
         )
         return fpdf.select(
-            F.col(key_col), F.explode("fingerprints").alias("fp")
-        ).distinct()
+            F.col(key_col),
+            F.explode(F.array_distinct("fingerprints")).alias("fp"),
+        )
     return slim.select(
         F.col(key_col),
-        F.explode(fingerprints(F.col(text_col), min_len, sample)).alias("fp"),
-    ).distinct()
+        F.explode(
+            F.array_distinct(fingerprints(F.col(text_col), min_len, sample))
+        ).alias("fp"),
+    )
 
 
 def fingerprint_candidate_pairs(
@@ -225,12 +232,19 @@ def _star_edges(fps: "DataFrame", key_col: str) -> "DataFrame":
     """(key, fp) postings → distinct per-fingerprint star edges (key_l,
     key_r) with key_l = the fingerprint group's min key (so key_l < key_r
     by construction). Connected components of the star graph equal those
-    of the full share-a-fingerprint pair graph at O(postings) rows."""
-    reps = fps.groupBy("fp").agg(
-        F.min(key_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
-    )
+    of the full share-a-fingerprint pair graph at O(postings) rows.
+
+    One window over fp (min key per fingerprint partition, unbounded
+    frame — spill-aware for boilerplate mega-postings) instead of the
+    former groupBy-reps + re-join: the postings shuffle once and need no
+    persist for double consumption. Singleton fingerprints emit nothing
+    (their only member IS the min).
+    """
+    from pyspark.sql.window import Window
+
+    rep = F.min(key_col).over(Window.partitionBy("fp"))
     return (
-        fps.join(reps.where(F.col("_n") > 1), "fp")
+        fps.withColumn("_rep", rep)
         .where(F.col(key_col) != F.col("_rep"))
         .select(F.col("_rep").alias("key_l"), F.col(key_col).alias("key_r"))
         .distinct()
@@ -276,6 +290,17 @@ def substring_edges(
     max over SA runs of the run-min LCP, ≥ min_len but NOT necessarily the
     pair's longest common substring (changed from the round-1 per-pair
     adjacent-LCP max).
+
+    Note the grouping component labels must NEVER seed a downstream
+    clustering as pre-merged labels: with winnowed nomination (k =
+    min_len − w + 1 < min_len) a group can contain docs sharing only a
+    k-byte run — docs the SA then correctly REJECTS as pairs — so the
+    grouping partition is strictly coarser than the verified-edge
+    components. Only the returned verified edges carry clustering
+    semantics. (The round-3 latency here was instead removed structurally:
+    per-doc array_distinct postings — no global distinct shuffle — and
+    window-min star edges — one shuffle, no reps join, no postings
+    persist.)
     """
     slim = docs.select(F.col(key_col), F.col(text_col))
 
@@ -297,9 +322,10 @@ def substring_edges(
         postings = substring_postings(slim, text_col, key_col, min_len, sample)
 
     if sample <= 1:
-        fps = postings.persist()
+        # postings flow straight into the star-edge window (single
+        # consumer — no persist); the star edges feed CC + node derivation
         pairs = None  # groups are exact; no per-pair nomination needed
-        grouping_edges = _star_edges(fps, key_col).persist()
+        grouping_edges = _star_edges(postings, key_col).persist()
     else:
         pairs, _hot = fingerprint_candidate_pairs(
             docs, text_col, key_col, min_len, sample, max_bucket_size,
@@ -394,8 +420,10 @@ def _grouped_verify(
     )
     cert_fps = big_docs.select(
         F.col(key_col),
-        F.explode(fingerprints(F.col(text_col), min_len, sample)).alias("fp"),
-    ).distinct()
+        F.explode(
+            F.array_distinct(fingerprints(F.col(text_col), min_len, sample))
+        ).alias("fp"),
+    )
     big_edges = _star_edges(cert_fps, key_col).withColumn(
         "span_len", F.lit(min_len).cast("long")
     )
@@ -458,10 +486,8 @@ def incremental_substring_edges(
     ).persist()
     all_post = existing_postings.select(key_col, "fp").unionByName(new_post)
     # only fingerprint VALUES present in the new batch can witness an edge
-    # touching a new doc
-    touched = all_post.join(
-        new_post.select("fp").distinct(), "fp", "left_semi"
-    ).persist()
+    # touching a new doc (single consumer below — no persist)
+    touched = all_post.join(new_post.select("fp").distinct(), "fp", "left_semi")
 
     if sample <= 1:
         grouping_edges = _star_edges(touched, key_col).persist()

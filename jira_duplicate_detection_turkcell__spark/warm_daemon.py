@@ -21,6 +21,9 @@ import pyarrow          # noqa: F401
 try:  # engine kernels (repo root must be on PYTHONPATH; see session.py)
     import jira_duplicate_detection_turkcell__spark.operators.signatures  # noqa: F401
     import jira_duplicate_detection_turkcell__spark.extract  # noqa: F401
+    import jira_duplicate_detection_turkcell__spark.operators.winnow  # noqa: F401
+    import jira_duplicate_detection_turkcell__spark.operators.suffix  # noqa: F401
+    import jira_duplicate_detection_turkcell__spark.operators.components  # noqa: F401
 except ImportError:  # pragma: no cover - daemon still works without them
     pass
 # fmt: on
