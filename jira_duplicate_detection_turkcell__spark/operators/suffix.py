@@ -157,7 +157,39 @@ def lcp_array(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
     return lcp
 
 
-def _group_spans(pdf: pd.DataFrame, min_len: int) -> pd.DataFrame:
+def _pair_lcs(
+    codes_size: int,
+    owner: np.ndarray,
+    sa: np.ndarray,
+    lcp: np.ndarray,
+    a: int,
+    b: int,
+) -> int:
+    """Exact longest-common-substring length of docs a and b inside one
+    group's generalized suffix array.
+
+    Classic reduction: restrict the SA to suffixes owned by a or b; the
+    pair's LCS is the max over consecutive restricted entries with
+    DIFFERENT owners of the range-min LCP between their ranks. The range
+    mins come from one ``np.minimum.reduceat`` over the lcp array (O(L)
+    per pair, no sparse table).
+    """
+    own = owner[sa]
+    ranks = np.flatnonzero((own == a) | (own == b))
+    if ranks.size < 2:
+        return 0
+    cross = own[ranks[:-1]] != own[ranks[1:]]
+    if not cross.any():
+        return 0
+    # min lcp[ranks[i] : ranks[i+1]] per consecutive restricted pair.
+    # reduceat's LAST segment runs to the end of lcp, not to ranks[-1] —
+    # recompute it over the intended window
+    seg_min = np.minimum.reduceat(lcp, ranks[:-1])
+    seg_min[-1] = lcp[ranks[-2] : ranks[-1]].min()
+    return int(seg_min[cross].max())
+
+
+def _group_spans(pdf: pd.DataFrame, min_len: int, exact_lcs: bool = False) -> pd.DataFrame:
     """Exact shared-substring pairs within one group of docs.
 
     Concatenate member texts with unique negative separators, build the
@@ -218,6 +250,13 @@ def _group_spans(pdf: pd.DataFrame, min_len: int) -> pd.DataFrame:
                     rows[(ka, kb)] = span
     if not rows:
         return empty
+    if exact_lcs:
+        # upgrade each emitted pair's guaranteed span to its TRUE longest
+        # common substring (pair set unchanged — membership was already
+        # exact); opt-in because it costs O(L) per pair
+        idx = {k: i for i, k in enumerate(keys)}
+        for ka, kb in list(rows):
+            rows[(ka, kb)] = _pair_lcs(codes.size, owner, sa, lcp, idx[ka], idx[kb])
     ks = list(rows)
     return pd.DataFrame(
         {
@@ -260,10 +299,14 @@ def substring_edges(
     max_bucket_size: int = 200,
     max_group_docs: int = 256,
     postings: DataFrame | None = None,
+    exact_lcs: bool = False,
 ) -> DataFrame:
     """Verified exact-shared-substring edges (key_l, key_r, span_len).
     Pass ``postings`` (a committed ``substring_postings`` stage) to skip
-    re-fingerprinting ``docs``.
+    re-fingerprinting ``docs``. ``exact_lcs=True`` makes span_len the TRUE
+    pairwise longest-common-substring length for SA-verified groups
+    (opt-in — O(L) extra per pair; certificate edges keep the min_len
+    lower bound).
 
     Plan: the fingerprint table nominates candidate GROUPS (connected
     components of the share-a-fingerprint relation), each doc's text is
@@ -336,7 +379,7 @@ def substring_edges(
 
     return _grouped_verify(
         grouping_edges, slim, key_col, text_col, min_len, sample,
-        max_group_docs, pairs,
+        max_group_docs, pairs, exact_lcs,
     )
 
 
@@ -349,6 +392,7 @@ def _grouped_verify(
     sample: int,
     max_group_docs: int,
     pairs: DataFrame | None,
+    exact_lcs: bool = False,
 ) -> DataFrame:
     """Nomination graph → verified substring edges (key_l, key_r, span_len).
 
@@ -357,7 +401,9 @@ def _grouped_verify(
     nomination edges, run one suffix array per small group (each member's
     text shipped once), and emit spanning-certificate star edges for
     oversized near-clique components. ``pairs`` (sampled mode only)
-    restricts small-group output to nominated pairs.
+    restricts small-group output to nominated pairs. ``exact_lcs`` upgrades
+    small-group span_len to the true pairwise LCS (certificate edges stay
+    min_len lower bounds — their whole point is to avoid per-pair work).
     """
     from .components import connected_components
 
@@ -380,7 +426,7 @@ def _grouped_verify(
     )
 
     def verify_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _group_spans(pdf, min_len)
+        return _group_spans(pdf, min_len, exact_lcs)
 
     small_edges = small.groupBy("cluster_id").applyInPandas(
         verify_group, "key_l string, key_r string, span_len long"
