@@ -152,6 +152,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "documents"), "doc_id", "text", 3, JACCARD_NUM, JACCARD_DEN
         )
 
+    def q_ngram_jaccard_pairs_salted(spark, sf_dir):
+        # same operator with the skew guard engaged: hot gram postings are
+        # salted into bounded triangular cells (operators/buckets.py), and
+        # the intersection counts — hence the output — stay EXACT, so this
+        # shares the plain query's SQL oracle (the production posture for
+        # stop-gram mega-postings at 100 TB)
+        return jaccard.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            3,
+            JACCARD_NUM,
+            JACCARD_DEN,
+            max_posting_size=64,
+        )
+
     def q_minhash_lsh_pairs(spark, sf_dir):
         return _minhash_verified_pairs(spark, sf_dir)
 
@@ -516,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": q_ivf_knn,
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_jaccard_pairs_salted": q_ngram_jaccard_pairs_salted,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "substring_pairs": q_substring_pairs,
@@ -591,6 +608,8 @@ def oracle_sql() -> dict[str, str]:
     sql["ngram_jaccard_pairs"] = (
         _NGRAM_PAIRS_CTE + "SELECT id_l, id_r, n_common, sz_l, sz_r FROM pairs"
     )
+    # salting is exact — the guarded variant must hash-match the SAME oracle
+    sql["ngram_jaccard_pairs_salted"] = sql["ngram_jaccard_pairs"]
 
     sql["minhash_lsh_pairs"] = _NGRAM_PAIRS_CTE + "SELECT id_l, id_r FROM pairs"
 
