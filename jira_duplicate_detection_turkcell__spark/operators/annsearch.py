@@ -56,12 +56,14 @@ def knn_topk(
     """
     from pyspark.sql.window import Window
 
-    n_q = queries.count()
-    assert n_q <= max_query_rows, (
-        f"knn_topk broadcasts the query side (n_queries={n_q} > "
-        f"max_query_rows={max_query_rows}); use operators/ivf.ivf_topk for "
-        f"large query batches"
-    )
+    # limit(cap+1) stops the count early; ValueError (not assert) so the
+    # guard survives python -O
+    if queries.limit(max_query_rows + 1).count() > max_query_rows:
+        raise ValueError(
+            f"knn_topk broadcasts the query side (n_queries > "
+            f"max_query_rows={max_query_rows}); use operators/ivf.ivf_topk "
+            f"for large query batches"
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
@@ -106,13 +108,14 @@ def cosine_pairs(
     id_type = embeddings.schema[id_col].dataType.simpleString()
     out_schema = f"id_l {id_type}, id_r {id_type}"
 
-    n = embeddings.count()
+    n = embeddings.limit(max_rows + 1).count()
     if n == 0:
         return embeddings.sparkSession.createDataFrame([], out_schema)
-    assert n <= max_rows, (
-        f"cosine_pairs is the test-scale ground-truth generator "
-        f"(n={n} > max_rows={max_rows}); use hyperplane_lsh_pairs or ivf"
-    )
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_pairs is the test-scale ground-truth generator "
+            f"(n > max_rows={max_rows}); use hyperplane_lsh_pairs or ivf"
+        )
     pdf_all = embeddings.select(id_col, vec_col).toPandas()
     all_ids = pdf_all[id_col].to_numpy()
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf_all[vec_col]])

@@ -158,7 +158,6 @@ def lcp_array(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
 
 
 def _pair_lcs(
-    codes_size: int,
     owner: np.ndarray,
     sa: np.ndarray,
     lcp: np.ndarray,
@@ -256,7 +255,7 @@ def _group_spans(pdf: pd.DataFrame, min_len: int, exact_lcs: bool = False) -> pd
         # exact); opt-in because it costs O(L) per pair
         idx = {k: i for i, k in enumerate(keys)}
         for ka, kb in list(rows):
-            rows[(ka, kb)] = _pair_lcs(codes.size, owner, sa, lcp, idx[ka], idx[kb])
+            rows[(ka, kb)] = _pair_lcs(owner, sa, lcp, idx[ka], idx[kb])
     ks = list(rows)
     return pd.DataFrame(
         {
@@ -393,6 +392,7 @@ def _grouped_verify(
     max_group_docs: int,
     pairs: DataFrame | None,
     exact_lcs: bool = False,
+    temps: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Nomination graph → verified substring edges (key_l, key_r, span_len).
 
@@ -404,6 +404,8 @@ def _grouped_verify(
     restricts small-group output to nominated pairs. ``exact_lcs`` upgrades
     small-group span_len to the true pairwise LCS (certificate edges stay
     min_len lower bounds — their whole point is to avoid per-pair work).
+    ``temps`` collects the persists this function pins, for callers that
+    materialize the result internally and can release them.
     """
     from .components import connected_components
 
@@ -417,6 +419,10 @@ def _grouped_verify(
     )
     gsizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_gsz"))
     comp = comp.join(gsizes, "cluster_id").persist()
+    if temps is not None:
+        # callers that materialize internally (incremental append) release
+        # this persist once their result is checkpointed
+        temps.append(comp)
 
     # ---- small components: one SA per group, each text shipped once
     small = (
@@ -527,45 +533,54 @@ def incremental_substring_edges(
 
     slim = docs.select(F.col(key_col), F.col(text_col))
     new_slim = new_docs.select(F.col(key_col), F.col(text_col))
+    # localCheckpoint, not persist: materialized batch-sized state that
+    # survives as the lineage root of the returned postings without
+    # accumulating storage-tier entries across chained appends
     new_post = substring_postings(
         new_slim, text_col, key_col, min_len, sample
-    ).persist()
+    ).localCheckpoint()
     all_post = existing_postings.select(key_col, "fp").unionByName(new_post)
     # only fingerprint VALUES present in the new batch can witness an edge
-    # touching a new doc (single consumer below — no persist)
+    # touching a new doc
     touched = all_post.join(new_post.select("fp").distinct(), "fp", "left_semi")
 
+    temps: list[DataFrame] = []
     if sample <= 1:
         grouping_edges = _star_edges(touched, key_col).persist()
         pairs = None
     else:
+        # the bipartite generator scans its all-side twice (hot-bucket
+        # sizing + salt tagging) — materialize the semi-joined state once
+        touched = touched.persist()
+        temps.append(touched)
         pairs, _hot = salted_bipartite_pairs(
             new_post, touched, ["fp"], key_col, max_bucket_size
         )
         pairs = pairs.distinct().persist()
         grouping_edges = pairs
+    temps.append(grouping_edges)
 
     edges = _grouped_verify(
         grouping_edges, slim, key_col, text_col, min_len, sample,
-        max_group_docs, pairs,
+        max_group_docs, pairs, temps=temps,
     )
     # drop old×old rows (exact-mode SA re-derivations and certificate star
     # edges in either mode) — complete/connected in the existing state per
-    # the docstring argument
+    # the docstring argument. One linear plan (two left joins + flag
+    # filter), NOT two semi-join branches: a branched plan re-executes the
+    # per-group suffix-array verification once per branch.
     nk = new_slim.select(F.col(key_col))
+    flag_l = nk.select(F.col(key_col).alias("key_l"), F.lit(True).alias("_nl"))
+    flag_r = nk.select(F.col(key_col).alias("key_r"), F.lit(True).alias("_nr"))
     edges = (
-        edges.join(
-            F.broadcast(nk.withColumnRenamed(key_col, "key_l")),
-            "key_l",
-            "left_semi",
-        )
-        .unionByName(
-            edges.join(
-                F.broadcast(nk.withColumnRenamed(key_col, "key_r")),
-                "key_r",
-                "left_semi",
-            )
-        )
-        .distinct()
+        edges.join(F.broadcast(flag_l), "key_l", "left")
+        .join(F.broadcast(flag_r), "key_r", "left")
+        .where(F.col("_nl") | F.col("_nr"))
+        .select("key_l", "key_r", "span_len")
     )
+    # materialize the (small) edge delta, then release every intermediate
+    # this call pinned — chained appends must not accumulate cached state
+    edges = edges.localCheckpoint()
+    for df in temps:
+        df.unpersist()
     return edges, all_post

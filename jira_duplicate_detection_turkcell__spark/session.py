@@ -60,6 +60,18 @@ _BASE_CONF: dict[str, str] = {
     # ~25 s of lazy host page-faulting onto the critical path — worse.)
     "spark.driver.extraJavaOptions": "-XX:+UseParallelGC -XX:NewRatio=1",
     "spark.executor.extraJavaOptions": "-XX:+UseParallelGC -XX:NewRatio=1",
+    # Tungsten sort/join/aggregate buffers OFF the GC heap. The n=800k
+    # probe showed the fused pair join's 32×~70 MB sorters promoted into
+    # the old gen at 8 concurrent tasks: 77-251 s of GC per edge phase
+    # (window-dependent — ParallelGC pause threads amplify under host
+    # steal) vs 2-6 s with off-heap, and total task-time stabilized at
+    # ~465 s where on-heap swung 457-720 s. local[2] is unaffected (GC was
+    # already ~5 s), so this is pure high-parallelism headroom — the
+    # standard production posture for shuffle-heavy stages. 16 GB is the
+    # sandbox ceiling share (24 g heap + 16 g off-heap ≪ 128 GiB); a real
+    # cluster sizes it per executor via --conf.
+    "spark.memory.offHeap.enabled": "true",
+    "spark.memory.offHeap.size": "16g",
     # 16 MB AQE target (default 64 MB) quadruples the post-shuffle task
     # count of the CPU-dense pair-join stage: its cost per input byte is
     # ~10× a scan's (pair explosion + bit_count screens), so byte-balanced

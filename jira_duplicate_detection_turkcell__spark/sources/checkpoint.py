@@ -85,12 +85,17 @@ class StageStore:
         # ONE 2-column row reaches the driver however many files exist)
         spark = df.sparkSession
         committed = spark.read.parquet(str(data_dir))
-        per_file = committed.groupBy(F.input_file_name().alias("file")).count()
-        totals = per_file.agg(
-            F.count(F.lit(1)).alias("n_files"), F.sum("count").alias("n_rows")
-        ).collect()[0]
-        file_count = int(totals["n_files"] or 0)
-        head = per_file.orderBy("file").limit(self.file_cap).collect()
+        # per_file is tiny (one row per file) — persist it so the totals
+        # aggregate and the capped head read the committed stage ONCE
+        per_file = committed.groupBy(F.input_file_name().alias("file")).count().persist()
+        try:
+            totals = per_file.agg(
+                F.count(F.lit(1)).alias("n_files"), F.sum("count").alias("n_rows")
+            ).collect()[0]
+            file_count = int(totals["n_files"] or 0)
+            head = per_file.orderBy("file").limit(self.file_cap).collect()
+        finally:
+            per_file.unpersist()
         partition_rows = {Path(r["file"]).name: r["count"] for r in head}
         manifest = StageManifest(
             stage=stage,

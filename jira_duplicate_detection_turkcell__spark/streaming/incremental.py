@@ -133,10 +133,13 @@ def apply_append(
                 "run — and ideally existing_postings (the committed "
                 "substr_postings stage)"
             )
-        all_docs = (
-            existing_docs.select("url", "text")
-            .unionByName(new_docs.select("url", "text"))
-            .persist()
+        # NOT persisted: caching the full corpus text does not scale (at
+        # 100 TB it cannot fit the storage tier) and chained appends would
+        # accumulate one copy per step — the union is a cheap view over the
+        # committed docs stage + the checkpointed new batch, and the two
+        # scans inside the substring verify re-read parquet instead
+        all_docs = existing_docs.select("url", "text").unionByName(
+            new_docs.select("url", "text")
         )
         if existing_postings is None:
             existing_postings = suffix.substring_postings(

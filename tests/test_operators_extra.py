@@ -144,8 +144,16 @@ def test_cosine_pairs_empty_and_guarded(emb, spark):
     assert [f.name for f in out.schema.fields] == ["id_l", "id_r"]
     import pytest as _pytest
 
-    with _pytest.raises(AssertionError, match="ground-truth"):
+    # ValueError, not assert: the scale guards must survive python -O
+    with _pytest.raises(ValueError, match="ground-truth"):
         annsearch.cosine_pairs(emb, 0.45, max_rows=1)
+
+
+def test_knn_topk_query_side_guarded(emb):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ivf_topk"):
+        annsearch.knn_topk(emb, emb, 5, "vec_id", "embedding", max_query_rows=1)
 
 
 def test_hyperplane_lsh_subset_of_bruteforce(emb):
