@@ -33,6 +33,10 @@ AUDIT = {
     # Spark 4's formatted explain marks whole-stage codegen with
     # "[codegen id : N]" on each fused operator, not a WholeStageCodegen node
     "minhash_lsh_pairs": [],
+    "substring_pairs": [
+        ("Window", "star edges: one window-min over fp, no reps re-join"),
+        ("FlatMapGroupsInPandas", "per-group suffix-array verification"),
+    ],
     "token_stats": [("codegen id :", "expressions must stay in codegen")],
     "feature_extract": [("codegen id :", "regex families must stay in codegen")],
     "partition_pruned": [
