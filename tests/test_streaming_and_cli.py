@@ -174,6 +174,40 @@ def test_incremental_substring_certificate_clusters_equal(spark):
     assert inc_assign == full_assign
 
 
+def test_incremental_chained_appends_equal_full_rerun(spark):
+    """THREE sequential appends threading the returned docs/postings state —
+    the loop a real ingestion runs. Every edge kind enabled (substring
+    included); final edges and clusters must equal one full batch run."""
+    cfg = P.DedupConfig(
+        enable_substring=True, minhash_bucket_cap=10_000, simhash_bucket_cap=10_000
+    )
+    pdf = synth.generate_pages_pdf(96, seed=42)
+    slot = pdf.index % 4  # interleaved 4-way: cross-batch edges in every step
+
+    full = P.run_dedup(spark, spark.createDataFrame(pdf), cfg)
+
+    state = P.run_dedup(spark, spark.createDataFrame(pdf[slot == 0]), cfg)
+    docs, postings = state["docs"], None
+    for step in (1, 2, 3):
+        upd = incremental.apply_append(
+            state.get("signed", state.get("signatures")),
+            state["edges"],
+            spark.createDataFrame(pdf[slot == step]),
+            cfg,
+            existing_docs=docs,
+            existing_postings=postings,
+        )
+        state = upd
+        docs, postings = upd["docs"], upd["postings"]
+
+    full_assign = {r["url"]: r["cluster_id"] for r in full["clusters"].collect()}
+    inc_assign = {r["url"]: r["cluster_id"] for r in state["clusters"].collect()}
+    assert inc_assign == full_assign
+    full_edges = {(r["key_l"], r["key_r"]) for r in full["edges"].collect()}
+    inc_edges = {(r["key_l"], r["key_r"]) for r in state["edges"].collect()}
+    assert inc_edges == full_edges
+
+
 def test_incremental_substring_requires_docs_state(spark):
     pdf = synth.generate_pages_pdf(16, seed=42)
     cfg = P.DedupConfig(enable_substring=True)
