@@ -72,6 +72,16 @@ _BASE_CONF: dict[str, str] = {
     # cluster sizes it per executor via --conf.
     "spark.memory.offHeap.enabled": "true",
     "spark.memory.offHeap.size": "16g",
+    # Shuffled-hash over sort-merge for equi-joins. The dominant stage of
+    # the fused pair join is the bucket-table self-join; its SMJ sorts
+    # (3-part key × 34M rows/side at n=800k) were the single biggest CPU
+    # block (178 of 411 task-s). Hash join skips both sides' sorts:
+    # measured (alternating A/B, n=800k) edge-phase wall 69-71 → 53-63 s
+    # and task-time −12-20% at 8 cores, −4% at 2 cores — so it improves
+    # the N→4N ratio too. Safe here: every engine join is either
+    # broadcast, salted-bounded (bucket cells ≤ ~cap²), or AQE-skew-split,
+    # and Spark ≥3.2 SHJ spills + gets skew handling like SMJ.
+    "spark.sql.join.preferSortMergeJoin": "false",
     # 16 MB AQE target (default 64 MB) quadruples the post-shuffle task
     # count of the CPU-dense pair-join stage: its cost per input byte is
     # ~10× a scan's (pair explosion + bit_count screens), so byte-balanced
