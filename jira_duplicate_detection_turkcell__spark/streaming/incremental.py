@@ -110,8 +110,8 @@ def apply_append(
     existing_postings: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """One append step → updated {'signed', 'edges', 'clusters'} (+ 'docs'
-    and 'postings' when the substring kind is enabled — thread them into
-    the next append).
+    whenever ``existing_docs`` is given, + 'postings' under the substring
+    kind — thread them into the next append).
 
     With ``enable_substring``, ``existing_docs`` (url, text — the prior
     run's docs stage) is required; ``existing_postings`` is the committed
@@ -125,14 +125,7 @@ def apply_append(
     ).select("key_l", "key_r")
 
     all_docs = postings = None
-    if cfg.enable_substring:
-        if existing_docs is None:
-            raise ValueError(
-                "incremental append with enable_substring needs "
-                "existing_docs (url, text) — the docs stage of the prior "
-                "run — and ideally existing_postings (the committed "
-                "substr_postings stage)"
-            )
+    if existing_docs is not None:
         # NOT persisted: caching the full corpus text does not scale (at
         # 100 TB it cannot fit the storage tier) and chained appends would
         # accumulate one copy per step — the union is a cheap view over the
@@ -141,6 +134,14 @@ def apply_append(
         all_docs = existing_docs.select("url", "text").unionByName(
             new_docs.select("url", "text")
         )
+    if cfg.enable_substring:
+        if all_docs is None:
+            raise ValueError(
+                "incremental append with enable_substring needs "
+                "existing_docs (url, text) — the docs stage of the prior "
+                "run — and ideally existing_postings (the committed "
+                "substr_postings stage)"
+            )
         if existing_postings is None:
             existing_postings = suffix.substring_postings(
                 existing_docs, "text", "url", cfg.substr_min_len, cfg.substr_sample
@@ -163,7 +164,8 @@ def apply_append(
     edges = existing_edges.select("key_l", "key_r").unionByName(new_edges).distinct()
     clusters = connected_components(edges, signed.select("url"), "url")
     out = {"signed": signed, "edges": edges, "clusters": clusters}
-    if cfg.enable_substring:
+    if all_docs is not None:
         out["docs"] = all_docs
+    if postings is not None:
         out["postings"] = postings
     return out

@@ -181,14 +181,28 @@ PAGES_SCHEMA = (
 )
 
 
-def generate_pages_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
-    """Distributed generation: spark.range → mapInPandas, pure f(seed, id)."""
+def generate_pages_df(
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    start: int = 0,
+    total: int | None = None,
+):
+    """Distributed generation: spark.range → mapInPandas, pure f(seed, id).
+
+    ``start``/``total`` generate the slice [start, start+n_docs) of a
+    ``total``-doc corpus (site count derives from ``total``, so batches of
+    one corpus are bit-identical to the same rows of a full generation —
+    the CLI append flow relies on this). Defaults reproduce the original
+    whole-corpus behavior.
+    """
     rng_seed = seed  # capture plain int, not a Spark conf object
-    ns = n_sites_for(n_docs)
+    ns = n_sites_for(total if total is not None else start + n_docs)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             yield pd.DataFrame([page_row(rng_seed, int(i), ns) for i in b["id"]])
 
-    base = spark.range(0, n_docs, numPartitions=partitions)
+    base = spark.range(start, start + n_docs, numPartitions=partitions)
     return base.mapInPandas(gen, PAGES_SCHEMA)

@@ -266,6 +266,55 @@ def test_cli_dedup_in_process(spark, tmp_path):
     assert set(result.columns) == {"url", "cluster_id"}
 
 
+def test_cli_append_in_process(spark, tmp_path):
+    """dedup batch 1 (checkpointed) → append batch 2 → clusters must equal
+    one full dedup over the whole corpus, with every edge kind enabled and
+    the state committed at generation 1 (chainable)."""
+    import json as _json
+
+    from jira_duplicate_detection_turkcell__spark import cli
+    from jira_duplicate_detection_turkcell__spark.sources.checkpoint import StageStore
+
+    ckpt = tmp_path / "state"
+    common = ["--substring"]
+    cli.main(
+        ["dedup", "--synth-n", "64", "--synth-total", "96",
+         "--output", str(tmp_path / "c1"), "--checkpoint-dir", str(ckpt), *common]
+    )
+    cli.main(
+        ["append", "--synth-n", "32", "--synth-start", "64", "--synth-total", "96",
+         "--output", str(tmp_path / "c2"), "--state-dir", str(ckpt), *common]
+    )
+    cli.main(
+        ["dedup", "--synth-n", "96", "--output", str(tmp_path / "cfull"), *common]
+    )
+    inc = {
+        r["url"]: r["cluster_id"]
+        for r in spark.read.parquet(str(tmp_path / "c2")).collect()
+    }
+    full = {
+        r["url"]: r["cluster_id"]
+        for r in spark.read.parquet(str(tmp_path / "cfull")).collect()
+    }
+    assert inc == full
+    store = StageStore(ckpt)
+    assert store.manifest("edges").metrics["generation"] == 1
+    # per-kind edge stages invalidated → a later dedup resume can't mix
+    assert not (ckpt / "edges_minhash" / "MANIFEST.json").exists()
+
+
+def test_cli_append_refuses_missing_state(spark, tmp_path):
+    import pytest as _pytest
+
+    from jira_duplicate_detection_turkcell__spark import cli
+
+    with _pytest.raises(SystemExit, match="state stage"):
+        cli.main(
+            ["append", "--synth-n", "8", "--output", str(tmp_path / "o"),
+             "--state-dir", str(tmp_path / "empty")]
+        )
+
+
 def test_pyfiles_zip_builds_and_imports(tmp_path):
     repo = Path(__file__).resolve().parent.parent
     subprocess.run(
