@@ -208,6 +208,26 @@ def test_incremental_chained_appends_equal_full_rerun(spark):
     assert inc_edges == full_edges
 
 
+def test_incremental_empty_batch_is_identity(spark):
+    """Real ingestion hits empty batches; append of zero pages must leave
+    edges and clusters exactly unchanged (every edge kind enabled)."""
+    cfg = P.DedupConfig(
+        enable_substring=True, minhash_bucket_cap=10_000, simhash_bucket_cap=10_000
+    )
+    pages = spark.createDataFrame(synth.generate_pages_pdf(24, seed=42))
+    base = P.run_dedup(spark, pages, cfg)
+    empty = spark.createDataFrame([], pages.schema)
+    upd = incremental.apply_append(
+        base["signatures"], base["edges"], empty, cfg, existing_docs=base["docs"]
+    )
+    assert {(r["key_l"], r["key_r"]) for r in upd["edges"].collect()} == {
+        (r["key_l"], r["key_r"]) for r in base["edges"].collect()
+    }
+    assert {r["url"]: r["cluster_id"] for r in upd["clusters"].collect()} == {
+        r["url"]: r["cluster_id"] for r in base["clusters"].collect()
+    }
+
+
 def test_incremental_substring_requires_docs_state(spark):
     pdf = synth.generate_pages_pdf(16, seed=42)
     cfg = P.DedupConfig(enable_substring=True)
