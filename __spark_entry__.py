@@ -193,6 +193,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nodes = _t(spark, sf_dir, "documents").select("doc_id")
         return connected_components(pairs, nodes, key_col="doc_id")
 
+    def q_incremental_clusters(spark, sf_dir):
+        # the incremental-append construction, oracle-checked: treat odd
+        # doc_ids as an appended batch. Edges = (old×old via the batch
+        # bucket self-join) ∪ (new-touching via the SALTED BIPARTITE
+        # new×all band join — streaming/incremental's candidate path);
+        # exact Jaccard verification, then CC. Append ≡ rebuild means the
+        # clusters must equal the full-batch dedup_clusters oracle (same
+        # recursive-CTE SQL) — the driver gate for the incremental path.
+        from jira_duplicate_detection_turkcell__spark.operators import minhash, verify
+        from jira_duplicate_detection_turkcell__spark.operators.buckets import (
+            salted_bipartite_pairs,
+        )
+
+        signed = _docs_with_signatures(spark, sf_dir)
+        is_new = F.col("url").cast("long") % 2 == 1
+
+        def bands(df):
+            return df.select(
+                "url", F.posexplode("band_hashes").alias("band_id", "band_hash")
+            )
+
+        old_pairs, _hot = minhash.candidate_pairs(
+            bands(signed.filter(~is_new)), "url", max_bucket_size=100_000
+        )
+        cross_pairs, _hot2 = salted_bipartite_pairs(
+            bands(signed.filter(is_new)),
+            bands(signed),
+            ["band_id", "band_hash"],
+            "url",
+            100_000,
+        )
+        pairs = (
+            old_pairs.select("key_l", "key_r")
+            .unionByName(cross_pairs.select("key_l", "key_r"))
+            .distinct()
+        )
+        edges = verify.jaccard_edges(
+            pairs, signed, JACCARD_NUM / JACCARD_DEN, "url", "shingles"
+        ).select(
+            F.col("key_l").cast("long").alias("key_l"),
+            F.col("key_r").cast("long").alias("key_r"),
+        )
+        nodes = _t(spark, sf_dir, "documents").select("doc_id")
+        return connected_components(edges, nodes, key_col="doc_id")
+
     # ---- similarity search over embeddings ------------------------------
 
     def q_knn_cosine(spark, sf_dir):
@@ -537,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "substring_pairs": q_substring_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "incremental_clusters": q_incremental_clusters,
         "knn_cosine": q_knn_cosine,
         "cosine_near_dup_pairs": q_cosine_near_dup_pairs,
         "ann_lsh_pairs": q_ann_lsh_pairs,
@@ -641,6 +687,9 @@ reach(n, m) AS (
 SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
 """
     )
+    # append ≡ rebuild: the incremental construction must reproduce the
+    # full-batch clustering exactly, so it shares the oracle
+    sql["incremental_clusters"] = sql["dedup_clusters"]
 
     sql["knn_cosine"] = f"""
 WITH q AS (
