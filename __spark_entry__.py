@@ -148,16 +148,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return exact.exact_dup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
     def q_ngram_jaccard_pairs(spark, sf_dir):
+        # runs the operator's DEFAULT config — which since round 5 is the
+        # GUARDED plan (max_posting_size=64): hot gram postings salted into
+        # bounded cells, output exact, so a naive caller gets the
+        # scale-safe plan out of the box (plain self-join is opt-out only)
         return jaccard.ngram_jaccard_pairs(
             _t(spark, sf_dir, "documents"), "doc_id", "text", 3, JACCARD_NUM, JACCARD_DEN
         )
 
     def q_ngram_jaccard_pairs_salted(spark, sf_dir):
-        # same operator with the skew guard engaged: hot gram postings are
-        # salted into bounded triangular cells (operators/buckets.py), and
-        # the intersection counts — hence the output — stay EXACT, so this
-        # shares the plain query's SQL oracle (the production posture for
-        # stop-gram mega-postings at 100 TB)
+        # the skew guard pinned EXPLICITLY (now also the default above):
+        # hot gram postings are salted into bounded triangular cells
+        # (operators/buckets.py), and the intersection counts — hence the
+        # output — stay EXACT, so this shares the plain query's SQL oracle
+        # (the production posture for stop-gram mega-postings at 100 TB)
         return jaccard.ngram_jaccard_pairs(
             _t(spark, sf_dir, "documents"),
             "doc_id",
@@ -197,13 +201,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the incremental-append construction, oracle-checked: treat odd
         # doc_ids as an appended batch. Edges = (old×old via the batch
         # bucket self-join) ∪ (new-touching via the SALTED BIPARTITE
-        # new×all band join — streaming/incremental's candidate path);
-        # exact Jaccard verification, then CC. Append ≡ rebuild means the
-        # clusters must equal the full-batch dedup_clusters oracle (same
-        # recursive-CTE SQL) — the driver gate for the incremental path.
+        # new×all band join — the SAME candidate-generation function the
+        # shipping path calls, streaming/incremental.new_all_candidate_pairs,
+        # so the oracle-proven construction and apply_append's code path
+        # cannot drift); exact Jaccard verification, then CC. Append ≡
+        # rebuild means the clusters must equal the full-batch
+        # dedup_clusters oracle (same recursive-CTE SQL) — the driver gate
+        # for the incremental path.
         from jira_duplicate_detection_turkcell__spark.operators import minhash, verify
-        from jira_duplicate_detection_turkcell__spark.operators.buckets import (
-            salted_bipartite_pairs,
+        from jira_duplicate_detection_turkcell__spark.streaming.incremental import (
+            new_all_candidate_pairs,
         )
 
         signed = _docs_with_signatures(spark, sf_dir)
@@ -217,7 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         old_pairs, _hot = minhash.candidate_pairs(
             bands(signed.filter(~is_new)), "url", max_bucket_size=100_000
         )
-        cross_pairs, _hot2 = salted_bipartite_pairs(
+        cross_pairs = new_all_candidate_pairs(
             bands(signed.filter(is_new)),
             bands(signed),
             ["band_id", "band_hash"],
@@ -243,9 +250,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_knn_cosine(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
         qs = emb.filter(F.col("vec_id") < KNN_QUERIES)
-        return annsearch.knn_topk(emb, qs, KNN_K, "vec_id", "embedding").select(
-            "query_id", "neighbor_id"
-        )
+        # the query side is bounded by construction (vec_id < KNN_QUERIES),
+        # so skip the guard's count job — one fewer job per invocation
+        return annsearch.knn_topk(
+            emb, qs, KNN_K, "vec_id", "embedding", assume_small=True
+        ).select("query_id", "neighbor_id")
 
     def q_cosine_near_dup_pairs(spark, sf_dir):
         return annsearch.cosine_pairs(

@@ -48,17 +48,40 @@ def _cfg_from_args(args):
     )
 
 
+SYNTH_SEED = 42
+
+
 def _pages_from_args(spark, args):
     from jira_duplicate_detection_turkcell__spark import synth
 
     if args.synth_n:
         return synth.generate_pages_df(
-            spark, args.synth_n, seed=42,
+            spark, args.synth_n, seed=SYNTH_SEED,
             partitions=spark.sparkContext.defaultParallelism * 2,
             start=args.synth_start,
             total=args.synth_total,
         )
     return spark.read.parquet(args.input)
+
+
+def _synth_params(args) -> dict | None:
+    """Generator parameters a synthetic run bakes into its corpus — recorded
+    in the checkpoint store so a later append can verify it is slicing the
+    SAME corpus (site count derives from the total: a base run without
+    --synth-total yields different per-doc sites than the append's view of
+    the corpus, silently breaking append ≡ rebuild)."""
+    from jira_duplicate_detection_turkcell__spark import synth
+
+    if not args.synth_n:
+        return None
+    total = args.synth_total if args.synth_total is not None else (
+        args.synth_start + args.synth_n
+    )
+    return {
+        "synth_seed": SYNTH_SEED,
+        "synth_total": total,
+        "synth_n_sites": synth.n_sites_for(total),
+    }
 
 
 def cmd_dedup(args) -> None:
@@ -72,6 +95,11 @@ def cmd_dedup(args) -> None:
 
     cfg = _cfg_from_args(args)
     store = StageStore(args.checkpoint_dir) if args.checkpoint_dir else None
+    if store is not None:
+        synth_params = _synth_params(args)
+        if synth_params is not None:
+            # recorded so a later `append` can refuse a mismatched slice
+            (store.root / "SYNTH.json").write_text(json.dumps(synth_params))
 
     pages = _pages_from_args(spark, args)
 
@@ -100,14 +128,18 @@ def cmd_dedup(args) -> None:
 def cmd_append(args) -> None:
     """Append a batch onto a checkpointed run; commit updated state back.
 
-    Consistency scheme: every state stage carries a ``generation`` in its
-    manifest metrics. The append refuses mixed generations (a crash between
-    the per-stage commits leaves them mixed — rebuild or retry against a
-    copy), verifies the config fingerprint matches the base run, and
-    commits all stages at generation+1. The updated tables are materialized
-    (localCheckpoint) BEFORE their old directories are overwritten — their
-    plans read those directories. An Iceberg backend would replace this
-    with real snapshot appends (SURVEY.md §7.5); the interface is the same.
+    Consistency scheme: ONE atomic generation flip (StageTxn). Every
+    updated stage is staged first — docs/signatures/postings/edges as
+    *segments* holding only the new rows (O(new batch) I/O, the
+    Iceberg-append analog), clusters as a full rewrite into a fresh
+    directory — without touching the directories the live generation (and
+    the update plans themselves) read from. Then a single intent-file
+    rename commits all of it: a crash before it leaves the base generation
+    fully usable (a retry just re-stages); a crash after it is rolled
+    forward by the next StageStore open. The per-generation tag in each
+    manifest stays as a belt-and-braces check, but mixed generations can no
+    longer be produced by this path. An Iceberg backend would replace this
+    with real snapshot commits (SURVEY.md §7.5); the interface is the same.
     """
     import time as _time
 
@@ -142,6 +174,32 @@ def cmd_append(args) -> None:
                 f"{cfg.fingerprint()}) — run `dedup --checkpoint-dir` with "
                 f"this exact config first"
             )
+    if args.synth_n:
+        # a synthetic append slices the SAME deterministic corpus as its
+        # base run — verify the recorded generator params (site count
+        # derives from the corpus total; a mismatch silently breaks
+        # append ≡ rebuild)
+        want = _synth_params(args)
+        synth_meta = store.root / "SYNTH.json"
+        if not synth_meta.exists():
+            raise SystemExit(
+                "append --synth-n: the base run recorded no synth params "
+                f"in {args.state_dir} (it ran from --input, or predates "
+                "SYNTH.json) — appending a synthetic slice onto it would "
+                "mix corpora; rebuild with `dedup --synth-n --synth-total`"
+            )
+        have = json.loads(synth_meta.read_text())
+        if (
+            have.get("synth_seed") != want["synth_seed"]
+            or have.get("synth_n_sites") != want["synth_n_sites"]
+        ):
+            raise SystemExit(
+                f"append --synth-n: generator params mismatch — base run "
+                f"recorded {have}, this append implies {want}; pass "
+                f"--synth-total {have.get('synth_total')} so both runs "
+                f"slice the same corpus (site count derives from the total)"
+            )
+
     gens = {
         st: store.manifest(st).metrics.get("generation", 0)
         for st in state_stages + edge_stages
@@ -172,26 +230,36 @@ def cmd_append(args) -> None:
             store.load(spark, "substr_postings") if cfg.enable_substring else None
         ),
     )
-    # materialize BEFORE overwriting the directories the plans read from
-    new_state = {
-        "docs": upd["docs"].localCheckpoint(),
-        "signatures": upd["signed"].localCheckpoint(),
-        "edges": upd["edges"].localCheckpoint(),
-    }
+    # Atomic generation flip: state tables grow by a SEGMENT holding only
+    # the new rows (never rewriting — or even reading back — the corpus;
+    # append I/O is O(new batch)); clusters, which change globally, are
+    # rewritten in full into a staged directory. The plans stream straight
+    # into the staged paths — the live directories they read from are
+    # untouched until the intent-file commit, so no localCheckpoint
+    # materialization step is needed.
+    gen_metric = {"generation": generation}
+    txn = store.begin_txn(generation)
+    txn.stage_segment("docs", upd["new_docs"], metrics=gen_metric)
+    txn.stage_segment("signatures", upd["new_signatures"], metrics=gen_metric)
     if cfg.enable_substring:
-        new_state["substr_postings"] = upd["postings"].localCheckpoint()
-    clusters = upd["clusters"].localCheckpoint()
-    for st, df in new_state.items():
-        store.commit(st, df, metrics={"generation": generation})
-    store.commit("clusters", clusters, metrics={"generation": generation})
-    # the per-kind edge stages are now stale relative to the updated docs/
-    # signatures — invalidate them so a later `dedup` resume on this store
-    # recomputes edges from the appended corpus instead of mixing
-    # generations (the combined "edges" stage is the live state from here)
-    for st in ("edges_minhash", "edges_simhash", "edges_substring"):
-        store.invalidate(st)
+        txn.stage_segment("substr_postings", upd["new_postings"], metrics=gen_metric)
+    if store.is_committed("edges"):
+        # chained append: the combined edge stage grows by the new edges
+        # (disjoint from prior edges by construction — every one touches a
+        # new doc; the cluster step distincts defensively either way)
+        txn.stage_segment("edges", upd["new_edges"], metrics=gen_metric)
+    else:
+        # first append on a per-kind base: consolidate into ONE combined
+        # stage, superseding the per-kind stages IN THE SAME transaction —
+        # no crash window where appended docs coexist with stale per-kind
+        # edges (a later `dedup` resume would have mixed generations)
+        txn.stage_full("edges", upd["edges"], metrics=gen_metric)
+        for st in ("edges_minhash", "edges_simhash", "edges_substring"):
+            txn.invalidate(st)
+    txn.stage_full("clusters", upd["clusters"], metrics=gen_metric)
+    txn.commit()
 
-    clusters.write.mode("overwrite").parquet(args.output)
+    store.load(spark, "clusters").write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)
     n_docs = written.count()
     n_clusters = written.select("cluster_id").distinct().count()

@@ -44,6 +44,7 @@ def knn_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_query_rows: int = 10_000,
+    assume_small: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus (self excluded).
 
@@ -52,13 +53,18 @@ def knn_topk(
     rides the broadcast, and the corpus never shuffles). ``max_query_rows``
     enforces that contract (mirroring ``cosine_pairs.max_rows``): beyond it
     the broadcast × corpus scan is O(Q·N) work behind one executor-memory
-    bound, and the IVF path is the right tool.
+    bound, and the IVF path is the right tool. The check costs one bounded
+    count job per call; a caller that already knows the query side is tiny
+    (e.g. it just built it with ``.limit(k)``) passes ``assume_small=True``
+    to skip it — the broadcast itself still fails loudly past the driver's
+    broadcast size limits, so the escape hatch trades a precise error
+    message for one fewer Spark job, never silent wrong answers.
     """
     from pyspark.sql.window import Window
 
     # limit(cap+1) stops the count early; ValueError (not assert) so the
     # guard survives python -O
-    if queries.limit(max_query_rows + 1).count() > max_query_rows:
+    if not assume_small and queries.limit(max_query_rows + 1).count() > max_query_rows:
         raise ValueError(
             f"knn_topk broadcasts the query side (n_queries > "
             f"max_query_rows={max_query_rows}); use operators/ivf.ivf_topk "

@@ -17,9 +17,11 @@ at any skew, and the per-pair intersection count is EXACT (every unordered
 pair still co-occurs exactly once per shared gram, just in a salted cell).
 Round 3 capped-and-dropped hot postings here — the one surviving instance
 of the drop pattern the engine banned everywhere else; salting keeps the
-operator exact at every setting. Unset (None), the plain self-join runs
-with zero extra jobs — correct but unguarded against Ω(Σp²) stop-gram
-blowup, so production configs should set a cap.
+operator exact at every setting. The guard is the DEFAULT
+(``max_posting_size=64``, the production posture — salting changes the
+physical plan only, never the output, so nothing is lost by defaulting
+on); pass ``None`` to explicitly opt out and run the plain self-join,
+which is correct but Ω(Σp²) on stop-gram mega-postings at crawl scale.
 """
 
 from __future__ import annotations
@@ -38,14 +40,15 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 2,
-    max_posting_size: int | None = None,
+    max_posting_size: int | None = 64,
 ) -> DataFrame:
     """(id_l, id_r, n_common, sz_l, sz_r) for pairs with
     Jaccard ≥ threshold_num/threshold_den (exact, integer arithmetic).
 
     ``max_posting_size`` bounds per-task join work by salting hot gram
-    postings (exact at every value — see module docstring); ``None`` runs
-    the plain inverted-index self-join.
+    postings (exact at every value — see module docstring). The guard
+    defaults ON; ``None`` is the explicit opt-out that runs the plain
+    unsalted inverted-index self-join (scale-unsafe on skewed postings).
     """
     grams = docs.select(
         F.col(id_col).alias("gid"),

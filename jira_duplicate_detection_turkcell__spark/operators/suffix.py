@@ -492,8 +492,13 @@ def incremental_substring_edges(
     sample: int = 1,
     max_bucket_size: int = 200,
     max_group_docs: int = 256,
-) -> tuple[DataFrame, DataFrame]:
-    """Substring edges touching ≥1 NEW doc + the updated postings state.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(edges, updated postings state, NEW-batch postings delta).
+
+    The third element is the postings of the appended batch alone — the
+    increment a segment-append checkpoint commits (O(new batch) I/O; the
+    union of committed segments reconstructs the full state), while the
+    second is the in-memory view existing ∪ new for chaining appends.
 
     The incremental-append analog of ``substring_edges`` (the reference's
     append path rebuilds everything, api_server.py:848-877 — append ≡
@@ -583,4 +588,4 @@ def incremental_substring_edges(
     edges = edges.localCheckpoint()
     for df in temps:
         df.unpersist()
-    return edges, all_post
+    return edges, all_post, new_post

@@ -59,6 +59,36 @@ def sign_new_batch(new_pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     return signature_stage(extract_stage(new_pages), cfg)
 
 
+def new_all_candidate_pairs(
+    buckets_new: DataFrame,
+    buckets_all: DataFrame,
+    bucket_cols: list[str],
+    key_col: str,
+    cap: int,
+    carry_cols: list[str] | tuple = (),
+    out_bucket_cols: list[str] | tuple = (),
+) -> DataFrame:
+    """THE candidate-generation step of an append: new-side bucket rows ×
+    (existing ∪ new) bucket rows, both sides salted, exactly-once pairs.
+
+    One named function shared by the shipping path (``incremental_edges``,
+    below) and the driver's oracle-gated ``incremental_clusters`` query
+    (``__spark_entry__.py``) — the oracle there proves append ≡ rebuild for
+    *this construction*, so routing both callers through it keeps the
+    proven construction and the production code path from drifting apart.
+    """
+    pairs, _hot = salted_bipartite_pairs(
+        buckets_new,
+        buckets_all,
+        bucket_cols,
+        key_col,
+        cap,
+        carry_cols=carry_cols,
+        out_bucket_cols=out_bucket_cols,
+    )
+    return pairs
+
+
 def incremental_edges(
     existing_signed: DataFrame,
     new_signed: DataFrame,
@@ -89,7 +119,7 @@ def incremental_edges(
     all_signed = existing_signed.select(*new_signed.columns).unionByName(new_signed)
     buckets_all, carry = fused_bucket_table(all_signed, cfg)
     buckets_new, _ = fused_bucket_table(new_signed, cfg)
-    pairs, _hot = salted_bipartite_pairs(
+    pairs = new_all_candidate_pairs(
         buckets_new,
         buckets_all,
         ["bkind", "bid", "bkey"],
@@ -109,22 +139,47 @@ def apply_append(
     existing_docs: DataFrame | None = None,
     existing_postings: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
-    """One append step → updated {'signed', 'edges', 'clusters'} (+ 'docs'
-    whenever ``existing_docs`` is given, + 'postings' under the substring
-    kind — thread them into the next append).
+    """One append step → updated {'signatures', 'edges', 'clusters'}
+    (+ 'docs' whenever ``existing_docs`` is given, + 'postings' under the
+    substring kind — thread them into the next append; ``'signed'`` is a
+    deprecated alias of ``'signatures'`` so batch and append state dicts
+    thread interchangeably). Alongside each updated table the NEW-batch
+    delta is returned under ``new_docs`` / ``new_signatures`` /
+    ``new_edges`` / ``new_postings`` — a segment-append checkpoint commits
+    only those (O(new batch) I/O; the committed segments union back to the
+    full state).
 
     With ``enable_substring``, ``existing_docs`` (url, text — the prior
     run's docs stage) is required; ``existing_postings`` is the committed
     ``substr_postings`` stage (recomputed from ``existing_docs`` when
     absent, e.g. a prior in-memory run that didn't keep it).
+
+    The batch must be KEY-DISJOINT from the existing corpus: appending a
+    url that already exists would silently duplicate its rows across every
+    state table (double postings, duplicate signatures, inflated counts),
+    so it is checked up front — one bounded semi-join job, failing loudly
+    like the CLI's other append guards.
     """
     new_docs = extract_stage(new_pages).localCheckpoint()
     new_signed = signature_stage(new_docs, cfg).localCheckpoint()
+    dup_urls = (
+        new_signed.select("url")
+        .join(existing_signed.select("url"), "url", "left_semi")
+        .limit(3)
+        .collect()
+    )
+    if dup_urls:
+        raise ValueError(
+            "append batch is not key-disjoint from the existing corpus — "
+            f"urls already present include {[r['url'] for r in dup_urls]}; "
+            "re-appending a url would duplicate its state rows (an update/"
+            "upsert is a rebuild, not an append)"
+        )
     new_edges = incremental_edges(
         existing_signed, new_signed, cfg, substring_handled=cfg.enable_substring
     ).select("key_l", "key_r")
 
-    all_docs = postings = None
+    all_docs = postings = new_postings = None
     if existing_docs is not None:
         # NOT persisted: caching the full corpus text does not scale (at
         # 100 TB it cannot fit the storage tier) and chained appends would
@@ -146,7 +201,7 @@ def apply_append(
             existing_postings = suffix.substring_postings(
                 existing_docs, "text", "url", cfg.substr_min_len, cfg.substr_sample
             )
-        sub_edges, postings = suffix.incremental_substring_edges(
+        sub_edges, postings, new_postings = suffix.incremental_substring_edges(
             all_docs,
             new_docs,
             existing_postings,
@@ -163,9 +218,18 @@ def apply_append(
     signed = existing_signed.select(*new_signed.columns).unionByName(new_signed)
     edges = existing_edges.select("key_l", "key_r").unionByName(new_edges).distinct()
     clusters = connected_components(edges, signed.select("url"), "url")
-    out = {"signed": signed, "edges": edges, "clusters": clusters}
+    out = {
+        "signatures": signed,
+        "signed": signed,  # deprecated alias (pre-round-5 key)
+        "edges": edges,
+        "clusters": clusters,
+        "new_docs": new_docs,
+        "new_signatures": new_signed,
+        "new_edges": new_edges,
+    }
     if all_docs is not None:
         out["docs"] = all_docs
     if postings is not None:
         out["postings"] = postings
+        out["new_postings"] = new_postings
     return out

@@ -156,6 +156,81 @@ def test_knn_topk_query_side_guarded(emb):
         annsearch.knn_topk(emb, emb, 5, "vec_id", "embedding", max_query_rows=1)
 
 
+def test_knn_topk_assume_small_skips_guard_same_answer(emb):
+    """assume_small=True removes the guard's count job (r4 nit); the result
+    must be identical to the guarded path on the same inputs."""
+    qs = emb.filter("vec_id < 5")
+    guarded = {
+        (r["query_id"], r["neighbor_id"], r["rn"])
+        for r in annsearch.knn_topk(emb, qs, 3, "vec_id", "embedding").collect()
+    }
+    unguarded = {
+        (r["query_id"], r["neighbor_id"], r["rn"])
+        for r in annsearch.knn_topk(
+            emb, qs, 3, "vec_id", "embedding", max_query_rows=1, assume_small=True
+        ).collect()
+    }
+    assert unguarded == guarded  # cap ignored when assumed small
+
+
+def _plan_of(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_session_plans_shuffled_hash_join_not_smj(spark):
+    """Plan-shape regression gate for the round-4 perf config (VERDICT r4
+    #6): under the packaged session config a non-broadcastable equi-join
+    must plan as ShuffledHashJoin, not SortMergeJoin — a Spark upgrade or
+    config drift (spark.sql.join.preferSortMergeJoin) would silently
+    revert the measured −12-20% edge-phase win.
+
+    Canary shape: range() sides have exact planner stats, sized so the
+    build side exceeds the broadcast threshold (no BHJ) but fits the
+    local-hash-map bound (threshold × shuffle partitions) — precisely the
+    regime the fused pair join's bucket self-join runs in at bench scale.
+    The canary's sensitivity is itself verified by flipping
+    preferSortMergeJoin back on and demanding SMJ."""
+    assert spark.conf.get("spark.sql.join.preferSortMergeJoin") == "false"
+    assert spark.conf.get("spark.memory.offHeap.enabled") == "true"
+
+    big = spark.range(200_000)  # ~1.6 MB planner stats (8 B/row)
+    small = spark.range(20_000).selectExpr("id", "id AS v")  # ~0.3 MB
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024))
+        plan = _plan_of(big.join(small, "id"))
+        assert "ShuffledHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan
+        # sensitivity: the same join under the default preference must SMJ,
+        # proving this canary actually exercises the SHJ-vs-SMJ choice
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+        assert "SortMergeJoin" in _plan_of(big.join(small, "id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+
+
+def test_fused_pair_join_plan_no_sort_and_broadcast_attach(spark):
+    """The fused pair join's own plan: no SortMergeJoin anywhere (at test
+    scale its joins are BHJ or SHJ; Sort nodes feeding a join would mark
+    an SMJ regression) and the hot-bucket salt attach stays an explicit
+    BroadcastHashJoin."""
+    from jira_duplicate_detection_turkcell__spark import synth
+    from jira_duplicate_detection_turkcell__spark.plans import pipeline as P
+
+    pages = spark.createDataFrame(synth.generate_pages_pdf(32, seed=42))
+    signed = P.signature_stage(P.extract_stage(pages), P.DedupConfig())
+    plan = _plan_of(P.fused_edges(signed, P.DedupConfig()))
+    assert "SortMergeJoin" not in plan, "SMJ regression — check session config"
+    assert "BroadcastHashJoin" in plan, "salt attach must broadcast"
+
+
 def test_hyperplane_lsh_subset_of_bruteforce(emb):
     brute = {(r["id_l"], r["id_r"]) for r in annsearch.cosine_pairs(emb, 0.45).collect()}
     got = {

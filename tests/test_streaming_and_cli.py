@@ -190,7 +190,7 @@ def test_incremental_chained_appends_equal_full_rerun(spark):
     docs, postings = state["docs"], None
     for step in (1, 2, 3):
         upd = incremental.apply_append(
-            state.get("signed", state.get("signatures")),
+            state["signatures"],  # same key from run_dedup AND apply_append
             state["edges"],
             spark.createDataFrame(pdf[slot == step]),
             cfg,
