@@ -36,9 +36,23 @@ SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
 
 
 def submit(cores: int, cli_args: list[str]) -> dict:
+    # the CLI deliberately uses the plain builder (the deployment shape);
+    # a real cluster passes sizing/tuning via spark-submit --conf exactly
+    # like this (values mirror session.py — the measured engine config;
+    # the 1 GB driver default OOMs at n=800k)
     cmd = [
         SPARK_SUBMIT,
         "--master", f"local[{cores}]",
+        "--driver-memory", "24g",
+        "--conf", f"spark.sql.shuffle.partitions={cores * 4}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.adaptive.advisoryPartitionSizeInBytes=16MB",
+        "--conf", "spark.sql.join.preferSortMergeJoin=false",
+        "--conf", "spark.memory.offHeap.enabled=true",
+        "--conf", "spark.memory.offHeap.size=16g",
+        "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC -XX:NewRatio=1",
+        "--conf", f"spark.sql.files.maxPartitionBytes={32 * 1024 * 1024}",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--py-files", str(REPO / "dist" / "jdt_spark.zip"),
         str(REPO / "jira_duplicate_detection_turkcell__spark" / "cli.py"),
         *cli_args,
