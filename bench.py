@@ -164,8 +164,10 @@ def main():
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # determinism check rides along for free: every trial must produce the
-    # same clustering of the same corpus
-    assert len(set(cluster_counts)) == 1, f"cluster count varied: {cluster_counts}"
+    # same clustering of the same corpus. RuntimeError, not assert — the
+    # check must survive `python -O` (repo convention, see annsearch.py)
+    if len(set(cluster_counts)) != 1:
+        raise RuntimeError(f"cluster count varied across trials: {cluster_counts}")
 
     queries = {name: min(ts) for name, ts in trials.items()}
     best_pages = queries["pages_dedup_pipeline"]

@@ -148,7 +148,12 @@ def main():
 
 append is **{summary['speedup_vs_rebuild']}×** cheaper than the rebuild it replaces; identical clusters: **{mismatches == 0}**
 """)
-    shutil.rmtree(work, ignore_errors=True)
+    if mismatches == 0:
+        shutil.rmtree(work, ignore_errors=True)
+    else:
+        # a cluster mismatch is the one result that demands investigation —
+        # keep the divergent outputs instead of forcing a multi-minute re-run
+        print(f"cluster mismatch ({mismatches} rows) — outputs kept at {work}")
 
 
 if __name__ == "__main__":

@@ -94,12 +94,45 @@ def cmd_dedup(args) -> None:
     spark = SparkSession.builder.getOrCreate()
 
     cfg = _cfg_from_args(args)
-    store = StageStore(args.checkpoint_dir) if args.checkpoint_dir else None
+    store = (
+        StageStore(args.checkpoint_dir, config_fingerprint=cfg.fingerprint())
+        if args.checkpoint_dir
+        else None
+    )
     if store is not None:
+        # Record the synthetic-generator params so a later `append` can
+        # refuse a mismatched slice — but only when they actually describe
+        # the corpus the store will hold. A resumed run REUSES any stage
+        # whose fingerprint matches (the fingerprint covers the dedup
+        # config, not the generator params), so blindly overwriting
+        # SYNTH.json here would let `dedup --synth-total X` on a store
+        # built with total Y relabel the old corpus and defeat the guard.
         synth_params = _synth_params(args)
+        synth_meta = store.root / "SYNTH.json"
+        docs_reused = store.is_committed("docs")
         if synth_params is not None:
-            # recorded so a later `append` can refuse a mismatched slice
-            (store.root / "SYNTH.json").write_text(json.dumps(synth_params))
+            if synth_meta.exists():
+                have = json.loads(synth_meta.read_text())
+                if have != synth_params and docs_reused:
+                    raise SystemExit(
+                        f"dedup --synth-n: this store's committed corpus was "
+                        f"generated with {have}, but the arguments imply "
+                        f"{synth_params} — resuming would relabel the old "
+                        f"corpus; pass --synth-total {have.get('synth_total')} "
+                        f"or use a fresh --checkpoint-dir"
+                    )
+                if have != synth_params:
+                    # full rebuild (nothing reusable) → new params apply
+                    synth_meta.write_text(json.dumps(synth_params))
+            elif not docs_reused:
+                synth_meta.write_text(json.dumps(synth_params))
+            # else: resumed corpus of unknown provenance (predates
+            # SYNTH.json) — leave it unrecorded; `append` refuses such
+            # stores rather than trusting a retrofitted label
+        elif synth_meta.exists() and not docs_reused:
+            # --input run rebuilding the stages: the synth label no longer
+            # describes what the store will hold
+            synth_meta.unlink()
 
     pages = _pages_from_args(spark, args)
 
@@ -254,8 +287,14 @@ def cmd_append(args) -> None:
         # no crash window where appended docs coexist with stale per-kind
         # edges (a later `dedup` resume would have mixed generations)
         txn.stage_full("edges", upd["edges"], metrics=gen_metric)
-        for st in ("edges_minhash", "edges_simhash", "edges_substring"):
-            txn.invalidate(st)
+    # Supersede the per-kind edge stages on EVERY append (idempotent when
+    # absent): a `dedup --checkpoint-dir` resume between appends re-commits
+    # them over the then-current corpus, and without this a later append
+    # would leave those re-committed stages stale — a subsequent resume
+    # forced to recompute clusters would union per-kind edges missing every
+    # pair that touches this batch.
+    for st in ("edges_minhash", "edges_simhash", "edges_substring"):
+        txn.invalidate(st)
     txn.stage_full("clusters", upd["clusters"], metrics=gen_metric)
     txn.commit()
 

@@ -320,8 +320,16 @@ class StageTxn:
     def invalidate(self, stage: str) -> None:
         """Mark ``stage`` superseded — its manifest is unlinked atomically
         with the flip (ADVICE r4: per-kind edge stages must not outlive the
-        combined stage by a crash window)."""
+        combined stage by a crash window), and its data segments are GC'd
+        with the same transaction: an unlinked manifest with full data dirs
+        left behind would orphan the superseded table in the store forever
+        (appends never rebuild it). Idempotent — invalidating an absent or
+        already-invalidated stage is a no-op."""
         self._invalidate.append(stage)
+        if self.store._manifest_path(stage).exists():
+            segs = self.store.manifest(stage).segments or ["data"]
+            gc = self._gc.setdefault(stage, [])
+            gc.extend(s for s in segs if s not in gc)
 
     def commit(self) -> None:
         """Write the intent file, then apply it. The tmp+rename of TXN.json

@@ -212,7 +212,13 @@ def apply_append(
             cfg.substr_bucket_cap,
             cfg.substr_max_group_docs,
         )
-        new_edges = new_edges.unionByName(sub_edges.select("key_l", "key_r"))
+        # a pair can be witnessed by BOTH a signature kind and the substring
+        # kind; the union must be distinct'd or the duplicate row is
+        # committed permanently into the edges segment (the signature kinds
+        # alone are already distinct — verify_fused_pairs ends in distinct)
+        new_edges = new_edges.unionByName(
+            sub_edges.select("key_l", "key_r")
+        ).distinct()
 
     new_edges = new_edges.localCheckpoint()
     signed = existing_signed.select(*new_signed.columns).unionByName(new_signed)

@@ -321,6 +321,10 @@ def test_cli_append_in_process(spark, tmp_path):
     assert store.manifest("edges").metrics["generation"] == 1
     # per-kind edge stages invalidated → a later dedup resume can't mix
     assert not (ckpt / "edges_minhash" / "MANIFEST.json").exists()
+    # committed edge state stores each pair once — a pair witnessed by both
+    # a signature kind and the substring kind must not commit twice
+    edges = store.load(spark, "edges")
+    assert edges.count() == edges.distinct().count()
 
 
 def test_cli_append_refuses_missing_state(spark, tmp_path):

@@ -122,6 +122,9 @@ def test_crash_after_intent_rolls_forward_on_open(spark, tmp_path):
     assert fresh.manifest("b").segments == ["data-g1"]
     assert not fresh.is_committed("stale")
     assert not (tmp_path / "st" / "b" / "data").exists()  # gc ran
+    # invalidation GC's the superseded stage's data too — an unlinked
+    # manifest with live data dirs would orphan the table forever
+    assert not (tmp_path / "st" / "stale" / "data").exists()
     assert not fresh._txn_path().exists()
 
     # partial-flip variant: one manifest already flipped before the crash
@@ -247,3 +250,87 @@ def test_cli_append_refuses_synth_param_mismatch(tmp_path):
              "--synth-total", "96",
              "--output", str(tmp_path / "c2"), "--state-dir", str(ckpt)]
         )
+
+
+def test_cli_dedup_refuses_resumed_synth_relabel(tmp_path):
+    """`dedup` on an existing checkpoint with DIFFERENT generator params
+    must refuse rather than overwrite SYNTH.json: the fingerprint-matched
+    stages would be REUSED (the fingerprint covers the dedup config, not
+    the generator params), so overwriting would relabel the old corpus and
+    let a later `append` pass the params check while mixing corpora."""
+    from jira_duplicate_detection_turkcell__spark import cli
+
+    ckpt = tmp_path / "state"
+    cli.main(
+        ["dedup", "--synth-n", "64", "--synth-total", "96",
+         "--output", str(tmp_path / "c1"), "--checkpoint-dir", str(ckpt)]
+    )
+    before = (ckpt / "SYNTH.json").read_text()
+    with pytest.raises(SystemExit, match="relabel"):
+        cli.main(
+            ["dedup", "--synth-n", "64", "--synth-total", "3072",
+             "--output", str(tmp_path / "c2"), "--checkpoint-dir", str(ckpt)]
+        )
+    assert (ckpt / "SYNTH.json").read_text() == before  # untouched
+    # identical params resume normally
+    cli.main(
+        ["dedup", "--synth-n", "64", "--synth-total", "96",
+         "--output", str(tmp_path / "c3"), "--checkpoint-dir", str(ckpt)]
+    )
+
+
+def test_chained_append_supersedes_recommitted_per_kind_edges(spark, tmp_path):
+    """A `dedup` resume between appends re-commits the per-kind edge stages
+    over the then-current corpus; the NEXT append must supersede them in
+    its transaction (manifest unlinked, data GC'd), or a later clusters
+    recompute would union per-kind edges missing that batch's pairs."""
+    from jira_duplicate_detection_turkcell__spark import cli
+    from jira_duplicate_detection_turkcell__spark.sources.checkpoint import StageStore
+
+    ckpt = tmp_path / "state"
+    cli.main(
+        ["dedup", "--synth-n", "48", "--synth-total", "96",
+         "--output", str(tmp_path / "c1"), "--checkpoint-dir", str(ckpt)]
+    )
+    cli.main(
+        ["append", "--synth-n", "24", "--synth-start", "48", "--synth-total", "96",
+         "--output", str(tmp_path / "c2"), "--state-dir", str(ckpt)]
+    )
+    # dedup resume between appends: re-commits edges_minhash/edges_simhash
+    # over the 72-doc corpus (docs/signatures/clusters stages are reused)
+    cli.main(
+        ["dedup", "--synth-n", "72", "--synth-total", "96",
+         "--output", str(tmp_path / "c3"), "--checkpoint-dir", str(ckpt)]
+    )
+    assert (ckpt / "edges_minhash" / "MANIFEST.json").exists()
+
+    cli.main(
+        ["append", "--synth-n", "24", "--synth-start", "72", "--synth-total", "96",
+         "--output", str(tmp_path / "c4"), "--state-dir", str(ckpt)]
+    )
+    # the chained append superseded the re-committed per-kind stages
+    for st in ("edges_minhash", "edges_simhash"):
+        assert not (ckpt / st / "MANIFEST.json").exists(), st
+        assert not (ckpt / st / "data").exists(), st  # GC'd with the txn
+
+    # and the store stays rebuild-equivalent even through a forced clusters
+    # recompute (the code path that would have read the stale stages)
+    store = StageStore(ckpt)
+    store.invalidate("clusters")
+    cli.main(
+        ["dedup", "--synth-n", "96", "--synth-total", "96",
+         "--output", str(tmp_path / "c5"), "--checkpoint-dir", str(ckpt)]
+    )
+    cli.main(
+        ["dedup", "--synth-n", "96", "--synth-total", "96",
+         "--output", str(tmp_path / "cfull")]
+    )
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in spark.read.parquet(str(tmp_path / "c5")).collect()
+    }
+    want = {
+        r["url"]: r["cluster_id"]
+        for r in spark.read.parquet(str(tmp_path / "cfull")).collect()
+    }
+    assert got == want
