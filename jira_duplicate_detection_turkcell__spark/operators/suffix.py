@@ -32,8 +32,18 @@ from ..functions.shingle import char_shingles
 
 
 def fingerprints(text, length: int = 32, sample: int = 1):
-    """array<long> of mod-sampled L-char shingle hashes (JVM-side)."""
-    sh = char_shingles(text, length)
+    """array<long> of mod-sampled L-char shingle hashes (JVM-side).
+
+    Texts shorter than ``length`` yield an EMPTY array, not the
+    ``char_shingles`` whole-text fallback: a fingerprint here certifies a
+    shared run of ≥ ``length`` chars (the certificate branch of
+    ``_grouped_verify`` stamps ``span_len = length`` on edges derived from
+    it), and a doc shorter than ``length`` cannot contain one — the
+    fallback hash would let two identical short docs assert an impossible
+    span."""
+    sh = F.when(
+        F.length(text) >= length, char_shingles(text, length)
+    ).otherwise(F.array().cast("array<long>"))
     if sample <= 1:
         return sh
     return F.filter(sh, lambda h: F.pmod(h, F.lit(sample)) == 0)
@@ -60,7 +70,14 @@ def substring_postings(
     Postings are a pure per-doc function, so an append never changes the
     existing rows — state maintenance is a blind union.
     """
-    slim = docs.select(F.col(key_col), F.col(text_col))
+    # docs shorter than min_len chars cannot contain a ≥ min_len-char run,
+    # so they emit NO postings: nothing true is lost (one-sided recall
+    # contract), nomination never groups them, and the state table stays
+    # free of whole-text fallback hashes that would otherwise pair
+    # identical short docs (spam/boilerplate stubs) into useless groups
+    slim = docs.select(F.col(key_col), F.col(text_col)).where(
+        F.length(F.col(text_col)) >= min_len
+    )
     # (key, fp) is globally unique by construction: each doc contributes ONE
     # array row, so duplicates can only come from repeats WITHIN a doc —
     # array_distinct removes them in-row, replacing what used to be a full
@@ -299,13 +316,17 @@ def substring_edges(
     max_group_docs: int = 256,
     postings: DataFrame | None = None,
     exact_lcs: bool = False,
+    temps: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Verified exact-shared-substring edges (key_l, key_r, span_len).
     Pass ``postings`` (a committed ``substring_postings`` stage) to skip
     re-fingerprinting ``docs``. ``exact_lcs=True`` makes span_len the TRUE
     pairwise longest-common-substring length for SA-verified groups
     (opt-in — O(L) extra per pair; certificate edges keep the min_len
-    lower bound).
+    lower bound). ``temps`` collects every DataFrame this call persists —
+    callers that materialize the result (a stage commit, a bench count)
+    should unpersist them afterwards or the pins outlive their use for the
+    session's lifetime.
 
     Plan: the fingerprint table nominates candidate GROUPS (connected
     components of the share-a-fingerprint relation), each doc's text is
@@ -375,10 +396,12 @@ def substring_edges(
         )
         pairs = pairs.persist()
         grouping_edges = pairs
+    if temps is not None:
+        temps.append(grouping_edges)
 
     return _grouped_verify(
         grouping_edges, slim, key_col, text_col, min_len, sample,
-        max_group_docs, pairs, exact_lcs,
+        max_group_docs, pairs, exact_lcs, temps=temps,
     )
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..extract import extract_docs
 from ..functions.shingle import char_shingles, word_shingles
-from ..operators import minhash, signatures, simhash, suffix, verify
+from ..operators import exact, minhash, signatures, simhash, suffix, verify
 from ..operators.components import connected_components
 from ..sources.checkpoint import StageStore
 
@@ -96,10 +96,14 @@ def exact_collapse(docs: DataFrame) -> DataFrame:
     star edges added back before clustering give exactly the clusters the
     full graph would (copies share every neighbor of their representative).
     md5 (128-bit) keys keep collision probability negligible at 10^12 docs
-    where a 64-bit hash would collide.
+    where a 64-bit hash would collide — the same scheme as the standalone
+    exact-dedup operator (operators/exact.py), whose hash + min-key
+    aggregation this reuses so the two can't diverge.
     """
-    keyed = docs.withColumn("_rep_h", F.md5(F.col("text").cast("binary")))
-    reps = keyed.groupBy("_rep_h").agg(F.min("url").alias("_rep"))
+    keyed = docs.withColumn("_rep_h", exact.content_hash("text"))
+    reps = exact.exact_dup_groups(docs, "text", "url").select(
+        F.col("text_hash").alias("_rep_h"), F.col("keep_id").alias("_rep")
+    )
     return keyed.join(reps, "_rep_h").select("url", "_rep", "text")
 
 
@@ -146,9 +150,15 @@ def signature_stage(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     return out.drop("text")
 
 
-def minhash_edges(signed: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
+def minhash_edges(
+    signed: DataFrame,
+    cfg: DedupConfig,
+    temps: list[DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame]:
     # the band table feeds three consumers inside candidate_pairs (bucket
-    # sizing, both join sides) — materialize it once instead of re-exploding
+    # sizing, both join sides) — materialize it once instead of re-exploding.
+    # ``temps`` collects the pin so callers that materialize the edges (a
+    # stage commit) can release it instead of leaking it for the session.
     if "band_hashes" in signed.columns:
         # band hashes were precomputed inside the signature kernel
         bands_df = signed.select(
@@ -158,6 +168,8 @@ def minhash_edges(signed: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataF
         bands_df = minhash.explode_bands(
             signed, "minhash_sig", "url", cfg.bands, cfg.rows
         ).persist()
+    if temps is not None:
+        temps.append(bands_df)
     pairs, hot = minhash.candidate_pairs(bands_df, "url", cfg.minhash_bucket_cap)
     edges = verify.jaccard_edges(
         pairs,
@@ -351,7 +363,10 @@ def verify_fused_pairs(
 
 
 def substring_edges(
-    docs: DataFrame, cfg: DedupConfig, postings: DataFrame | None = None
+    docs: DataFrame,
+    cfg: DedupConfig,
+    postings: DataFrame | None = None,
+    temps: list[DataFrame] | None = None,
 ) -> DataFrame:
     return suffix.substring_edges(
         docs,
@@ -362,6 +377,7 @@ def substring_edges(
         cfg.substr_bucket_cap,
         cfg.substr_max_group_docs,
         postings=postings,
+        temps=temps,
     )
 
 
@@ -407,6 +423,16 @@ def run_dedup(
         store.commit(name, df, metrics)
         return store.load(spark, name)
 
+    # internal persists (band tables, substring grouping graphs) pinned by
+    # the edge builders — released once the consuming stage is materialized
+    # so repeated run_dedup calls in one session don't accumulate dead
+    # cached blocks that evict useful cache
+    temps: list[DataFrame] = []
+
+    def release_temps() -> None:
+        while temps:
+            temps.pop().unpersist()
+
     if store is not None:
         # checkpointed mode: every stage is a durable commit (resumable).
         # The exact-collapse membership is DERIVED (deterministic from the
@@ -424,9 +450,12 @@ def run_dedup(
         edge_parts: list[DataFrame] = [
             stage(
                 "edges_minhash",
-                lambda: minhash_edges(signed, cfg)[0].select("key_l", "key_r"),
+                lambda: minhash_edges(signed, cfg, temps=temps)[0].select(
+                    "key_l", "key_r"
+                ),
             )
         ]
+        release_temps()  # stage committed → the band-table pin is dead
         if cfg.enable_simhash:
             edge_parts.append(
                 stage(
@@ -448,11 +477,12 @@ def run_dedup(
             edge_parts.append(
                 stage(
                     "edges_substring",
-                    lambda: substring_edges(sign_input, cfg, postings=postings).select(
-                        "key_l", "key_r"
-                    ),
+                    lambda: substring_edges(
+                        sign_input, cfg, postings=postings, temps=temps
+                    ).select("key_l", "key_r"),
                 )
             )
+            release_temps()  # stage committed → grouping-graph pins are dead
         edges = edge_parts[0]
         for e in edge_parts[1:]:
             edges = edges.union(e)
@@ -493,13 +523,14 @@ def run_dedup(
     edges_plan = fused_edges(signed, cfg)
     if cfg.enable_substring:
         edges_plan = edges_plan.union(
-            substring_edges(sign_input, cfg).select("key_l", "key_r")
+            substring_edges(sign_input, cfg, temps=temps).select("key_l", "key_r")
         ).distinct()
     if membership is not None:
         # rep→member star edges are disjoint from rep↔rep near-dup edges, so
         # the union stays distinct with key_l < key_r
         edges_plan = edges_plan.union(exact_star_edges(membership))
     edges = stage("edges", lambda: edges_plan)
+    release_temps()  # edge stage persisted+counted → grouping pins are dead
 
     clusters = clocked(
         "connected_components",

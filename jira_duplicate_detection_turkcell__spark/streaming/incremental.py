@@ -41,6 +41,7 @@ stage 1 reads only the files of the new snapshot.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators import suffix
 from ..operators.buckets import salted_bipartite_pairs
@@ -154,14 +155,41 @@ def apply_append(
     ``substr_postings`` stage (recomputed from ``existing_docs`` when
     absent, e.g. a prior in-memory run that didn't keep it).
 
-    The batch must be KEY-DISJOINT from the existing corpus: appending a
-    url that already exists would silently duplicate its rows across every
-    state table (double postings, duplicate signatures, inflated counts),
-    so it is checked up front — one bounded semi-join job, failing loudly
-    like the CLI's other append guards.
+    The batch must be KEY-DISJOINT from the existing corpus AND internally
+    key-unique: appending a url that already exists — or a batch carrying
+    the same url twice (a crawl re-fetch landing in one batch) — would
+    silently duplicate its rows across every state table (double postings,
+    duplicate signatures, inflated counts), so both are checked up front —
+    one bounded job each, failing loudly like the CLI's other append
+    guards.
     """
+    if cfg.exact_collapse:
+        # a run_dedup(exact_collapse=True) store commits REPRESENTATIVE-only
+        # signatures: clustering over that table here would silently drop
+        # every byte-duplicate member url from the clusters, and the
+        # disjointness guard below could not see member urls at all
+        raise ValueError(
+            "incremental append does not support exact_collapse state — the "
+            "signatures stage holds one representative per byte-identical "
+            "group, so appended clusters would lose the member urls; rebuild "
+            "with run_dedup, or run the base job with exact_collapse=False"
+        )
     new_docs = extract_stage(new_pages).localCheckpoint()
     new_signed = signature_stage(new_docs, cfg).localCheckpoint()
+    intra_dups = (
+        new_signed.groupBy("url")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+        .limit(3)
+        .collect()
+    )
+    if intra_dups:
+        raise ValueError(
+            "append batch contains duplicate urls within itself — e.g. "
+            f"{[r['url'] for r in intra_dups]}; each duplicate would commit "
+            "its state rows twice (double postings, duplicate signatures) "
+            "and the copies would mask each other's near-dup edges"
+        )
     dup_urls = (
         new_signed.select("url")
         .join(existing_signed.select("url"), "url", "left_semi")

@@ -409,3 +409,76 @@ def test_substring_sampled_mode_subset_and_long_run_recall(spark):
         )
         got = {(r["key_l"], r["key_r"]) for r in edges.collect()}
         assert got == {("a", "b")}, (mgd, got)
+
+
+def test_substring_short_docs_emit_no_edges(spark):
+    """Docs shorter than min_len cannot share a ≥ min_len-char run, so
+    identical short docs (spam/boilerplate stubs) must emit ZERO substring
+    edges in EVERY mode — small-group SA, forced certificate branch, and
+    sampled nomination. (char_shingles' whole-text fallback used to hand
+    short docs a fake min_len-gram fingerprint; a big-enough group of
+    identical stubs then hit the certificate branch, which stamped
+    span_len = min_len on runs that cannot exist.)"""
+    from jira_duplicate_detection_turkcell__spark.operators import suffix
+
+    stub = "tiny boilerplate stub page"  # 26 chars < min_len=48
+    rows = [(f"s{i:03d}", stub) for i in range(12)]
+    shared = ("a genuinely long shared paragraph exceeding the minimum span "
+              "length requirement comfortably " * 3)
+    rows += [("la", f"left {shared} one"), ("lb", f"right {shared} two")]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    for kwargs in (
+        {},                             # default winnowed nomination, SA verify
+        {"max_group_docs": 2},          # forces the certificate branch
+        {"sample": 4},                  # mod-sampled nomination
+        {"sample": 4, "max_group_docs": 2},
+    ):
+        edges = suffix.substring_edges(docs, "text", "url", min_len=48, **kwargs)
+        got = {(r["key_l"], r["key_r"]) for r in edges.collect()}
+        assert got == {("la", "lb")}, (kwargs, got)
+
+
+def test_substring_postings_exclude_short_docs(spark):
+    # the postings STATE (incremental-append nomination table) must not
+    # carry short docs either — both the winnowed and sampled builders
+    from jira_duplicate_detection_turkcell__spark.operators import suffix
+
+    long_text = ("varied content long enough to produce many distinct "
+                 "forty-eight character grams for sampling purposes " * 3)
+    docs = spark.createDataFrame(
+        [("short", "well under the minimum"), ("long", long_text)],
+        "url string, text string",
+    )
+    for sample in (1, 4):
+        keys = {
+            r["url"]
+            for r in suffix.substring_postings(docs, min_len=48, sample=sample)
+            .select("url")
+            .distinct()
+            .collect()
+        }
+        assert keys == {"long"}, sample
+
+
+def test_substring_edges_temps_contract(spark):
+    """substring_edges(temps=...) hands back every DataFrame it pinned so a
+    materializing caller (stage commit, bench) can release them — pins left
+    behind otherwise survive for the whole session and evict useful cache."""
+    from jira_duplicate_detection_turkcell__spark.operators import suffix
+
+    shared = ("shared paragraph comfortably exceeding the minimum span "
+              "length for substring detection " * 2)
+    docs = spark.createDataFrame(
+        [("a", f"one {shared} x"), ("b", f"two {shared} y")],
+        "url string, text string",
+    )
+    for sample in (1, 4):
+        temps: list = []
+        edges = suffix.substring_edges(
+            docs, "text", "url", min_len=48, sample=sample, temps=temps
+        )
+        assert edges.count() == 1
+        assert temps and all(t.storageLevel.useMemory for t in temps)
+        for t in temps:
+            t.unpersist()
+        assert all(not t.storageLevel.useMemory for t in temps)

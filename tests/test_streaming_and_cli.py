@@ -72,6 +72,20 @@ def test_streaming_signatures_match_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_streaming_signatures_char_shingles_without_simhash(spark):
+    """char-shingle + enable_simhash=False is a valid DedupConfig whose
+    signature stage emits no simhash column; streaming_signatures must
+    adapt its projection instead of raising UNRESOLVED_COLUMN."""
+    pages = spark.createDataFrame(synth.generate_pages_pdf(8, seed=42))
+    cfg = P.DedupConfig(shingle_kind="char", enable_simhash=False)
+    out = windows.streaming_signatures(pages, cfg)
+    assert out.columns == ["url", "minhash_sig"]
+    assert out.count() == 8
+    # and the simhash column is still present whenever the kind is enabled
+    with_sh = windows.streaming_signatures(pages, P.DedupConfig(shingle_kind="char"))
+    assert with_sh.columns == ["url", "minhash_sig", "simhash"]
+
+
 @pytest.mark.parametrize(
     "cfg",
     [
@@ -235,6 +249,36 @@ def test_incremental_substring_requires_docs_state(spark):
     with pytest.raises(ValueError, match="existing_docs"):
         incremental.apply_append(
             base["signatures"], base["edges"], spark.createDataFrame(pdf.iloc[8:]), cfg
+        )
+
+
+def test_append_refuses_intra_batch_duplicate_urls(spark):
+    """A batch carrying the same url twice (a crawl re-fetch landing in one
+    batch) passes the new-vs-existing disjointness check but would commit
+    duplicated state rows — the guard must catch it before any state math."""
+    import pandas as pd
+
+    pdf = synth.generate_pages_pdf(24, seed=42)
+    base = P.run_dedup(spark, spark.createDataFrame(pdf.iloc[:16]), CFG)
+    batch = pd.concat([pdf.iloc[16:], pdf.iloc[20:21]])  # one url twice
+    with pytest.raises(ValueError, match="within itself"):
+        incremental.apply_append(
+            base["signatures"], base["edges"], spark.createDataFrame(batch), CFG
+        )
+
+
+def test_append_refuses_exact_collapse_state(spark):
+    """run_dedup(exact_collapse=True) commits representative-only
+    signatures; clustering an append over that table would silently drop
+    every byte-duplicate member url — apply_append must refuse loudly."""
+    import dataclasses
+
+    pdf = synth.generate_pages_pdf(24, seed=42)
+    cfg = dataclasses.replace(CFG, exact_collapse=True)
+    base = P.run_dedup(spark, spark.createDataFrame(pdf.iloc[:16]), cfg)
+    with pytest.raises(ValueError, match="exact_collapse"):
+        incremental.apply_append(
+            base["signatures"], base["edges"], spark.createDataFrame(pdf.iloc[16:]), cfg
         )
 
 
