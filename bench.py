@@ -135,8 +135,14 @@ def main():
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 trials.setdefault(name, []).append(round(time.time() - t0, 3))
             # each trial recomputes from parquet; drop persisted leftovers so
-            # later trials can't silently reuse a prior trial's cache
+            # later trials can't silently reuse a prior trial's cache. The
+            # entry module's signature cache must be dropped WITH it:
+            # clearCache unpersists the cached signatures DataFrame but the
+            # stale handle would survive in the dict, making trials ≥ 2
+            # recompute signing unpersisted — a different plan than trial 1,
+            # which defeats the min-of-alternating-trials protocol
             spark.catalog.clearCache()
+            entrymod._SIGNED_CACHE.clear()
 
         # The sustained pages pipeline is right-sized to what this host can
         # actually back: with >8 vCPUs busy the hypervisor steals ~4 CPUs

@@ -51,10 +51,19 @@ def _cfg_from_args(args):
 SYNTH_SEED = 42
 
 
+def _validate_source_args(args) -> None:
+    # `--synth-n 0` satisfies argparse's required mutually-exclusive group
+    # but is falsy: a plain truthiness test would silently fall through to
+    # the --input branch with input=None. Treat presence and validity
+    # separately, up front, before any guard logic reads the value.
+    if args.synth_n is not None and args.synth_n <= 0:
+        raise SystemExit("--synth-n must be a positive page count")
+
+
 def _pages_from_args(spark, args):
     from jira_duplicate_detection_turkcell__spark import synth
 
-    if args.synth_n:
+    if args.synth_n is not None:
         return synth.generate_pages_df(
             spark, args.synth_n, seed=SYNTH_SEED,
             partitions=spark.sparkContext.defaultParallelism * 2,
@@ -62,6 +71,28 @@ def _pages_from_args(spark, args):
             total=args.synth_total,
         )
     return spark.read.parquet(args.input)
+
+
+def _report_output(spark, clusters, output: str, t0: float, extra: dict | None = None) -> None:
+    """Write the clusters parquet, re-read it (what a consumer sees), and
+    print the one-line JSON report. One elapsed reading feeds both
+    ``seconds`` and ``docs_per_sec`` — two ``time.time()`` calls straddling
+    the count jobs made the two fields mutually inconsistent."""
+    clusters.write.mode("overwrite").parquet(output)
+    written = spark.read.parquet(output)
+    n_docs = written.count()
+    n_clusters = written.select("cluster_id").distinct().count()
+    elapsed = time.time() - t0
+    record = {
+        "docs": n_docs,
+        "clusters": n_clusters,
+        "dup_docs": n_docs - n_clusters,
+        **(extra or {}),
+        "seconds": round(elapsed, 2),
+        "docs_per_sec": round(n_docs / elapsed, 1) if elapsed > 0 else None,
+        "output": output,
+    }
+    print(json.dumps(record))
 
 
 def _synth_params(args) -> dict | None:
@@ -72,7 +103,7 @@ def _synth_params(args) -> dict | None:
     the corpus, silently breaking append ≡ rebuild)."""
     from jira_duplicate_detection_turkcell__spark import synth
 
-    if not args.synth_n:
+    if args.synth_n is None:
         return None
     total = args.synth_total if args.synth_total is not None else (
         args.synth_start + args.synth_n
@@ -94,11 +125,14 @@ def cmd_dedup(args) -> None:
     spark = SparkSession.builder.getOrCreate()
 
     cfg = _cfg_from_args(args)
+    _validate_source_args(args)
     store = (
         StageStore(args.checkpoint_dir, config_fingerprint=cfg.fingerprint())
         if args.checkpoint_dir
         else None
     )
+    record_synth = False
+    synth_params = synth_meta = None
     if store is not None:
         # Record the synthetic-generator params so a later `append` can
         # refuse a mismatched slice — but only when they actually describe
@@ -107,6 +141,12 @@ def cmd_dedup(args) -> None:
         # config, not the generator params), so blindly overwriting
         # SYNTH.json here would let `dedup --synth-total X` on a store
         # built with total Y relabel the old corpus and defeat the guard.
+        # Timing is asymmetric: a label that stops describing the store is
+        # REMOVED up front (an unlabeled store is refused by `append` — the
+        # safe direction), but the new label is WRITTEN only after the
+        # rebuilt docs stage is durably committed — writing at startup
+        # would mislabel the old corpus for the whole rebuild window, so a
+        # crash mid-rebuild leaves a store whose docs and label disagree.
         synth_params = _synth_params(args)
         synth_meta = store.root / "SYNTH.json"
         docs_reused = store.is_committed("docs")
@@ -122,10 +162,12 @@ def cmd_dedup(args) -> None:
                         f"or use a fresh --checkpoint-dir"
                     )
                 if have != synth_params:
-                    # full rebuild (nothing reusable) → new params apply
-                    synth_meta.write_text(json.dumps(synth_params))
+                    # full rebuild (nothing reusable) → old label is wrong
+                    # the moment the rebuild starts
+                    synth_meta.unlink()
+                    record_synth = True
             elif not docs_reused:
-                synth_meta.write_text(json.dumps(synth_params))
+                record_synth = True
             # else: resumed corpus of unknown provenance (predates
             # SYNTH.json) — leave it unrecorded; `append` refuses such
             # stores rather than trusting a retrofitted label
@@ -138,23 +180,13 @@ def cmd_dedup(args) -> None:
 
     t0 = time.time()
     result = P.run_dedup(spark, pages, cfg, store)
-    clusters = result["clusters"]
-    clusters.write.mode("overwrite").parquet(args.output)
-    written = spark.read.parquet(args.output)
-    n_docs = written.count()
-    n_clusters = written.select("cluster_id").distinct().count()
-    print(
-        json.dumps(
-            {
-                "docs": n_docs,
-                "clusters": n_clusters,
-                "dup_docs": n_docs - n_clusters,
-                "seconds": round(time.time() - t0, 2),
-                "docs_per_sec": round(n_docs / (time.time() - t0), 1),
-                "config_fingerprint": cfg.fingerprint(),
-                "output": args.output,
-            }
-        )
+    if record_synth:
+        # run_dedup returned → the docs stage this label describes is
+        # committed (see the timing note above)
+        synth_meta.write_text(json.dumps(synth_params))
+    _report_output(
+        spark, result["clusters"], args.output, t0,
+        extra={"config_fingerprint": cfg.fingerprint()},
     )
 
 
@@ -174,8 +206,6 @@ def cmd_append(args) -> None:
     longer be produced by this path. An Iceberg backend would replace this
     with real snapshot commits (SURVEY.md §7.5); the interface is the same.
     """
-    import time as _time
-
     from pyspark.sql import SparkSession
 
     from jira_duplicate_detection_turkcell__spark.plans import pipeline as P
@@ -184,6 +214,7 @@ def cmd_append(args) -> None:
 
     spark = SparkSession.builder.getOrCreate()
     cfg = _cfg_from_args(args)
+    _validate_source_args(args)
     store = StageStore(args.state_dir, config_fingerprint=cfg.fingerprint())
 
     state_stages = ["docs", "signatures"]
@@ -207,7 +238,7 @@ def cmd_append(args) -> None:
                 f"{cfg.fingerprint()}) — run `dedup --checkpoint-dir` with "
                 f"this exact config first"
             )
-    if args.synth_n:
+    if args.synth_n is not None:
         # a synthetic append slices the SAME deterministic corpus as its
         # base run — verify the recorded generator params (site count
         # derives from the corpus total; a mismatch silently breaks
@@ -252,7 +283,7 @@ def cmd_append(args) -> None:
     if len(edge_stages) > 1:
         existing_edges = existing_edges.distinct()
 
-    t0 = _time.time()
+    t0 = time.time()
     upd = incremental.apply_append(
         store.load(spark, "signatures"),
         existing_edges,
@@ -298,22 +329,9 @@ def cmd_append(args) -> None:
     txn.stage_full("clusters", upd["clusters"], metrics=gen_metric)
     txn.commit()
 
-    store.load(spark, "clusters").write.mode("overwrite").parquet(args.output)
-    written = spark.read.parquet(args.output)
-    n_docs = written.count()
-    n_clusters = written.select("cluster_id").distinct().count()
-    print(
-        json.dumps(
-            {
-                "docs": n_docs,
-                "clusters": n_clusters,
-                "dup_docs": n_docs - n_clusters,
-                "generation": generation,
-                "seconds": round(_time.time() - t0, 2),
-                "config_fingerprint": cfg.fingerprint(),
-                "output": args.output,
-            }
-        )
+    _report_output(
+        spark, store.load(spark, "clusters"), args.output, t0,
+        extra={"generation": generation, "config_fingerprint": cfg.fingerprint()},
     )
 
 

@@ -160,8 +160,15 @@ def sampled_hit_rate(
     est_cols = [F.lit(total).cast("long").alias("n_total"), F.col("n_sample")]
     for fam in families:
         est_cols.append(
-            F.floor(
-                F.col(f"_hits_{fam}") * F.lit(total) / F.col("n_sample")
-            ).cast("long").alias(f"est_{fam}")
+            # guard the empty-table case: the session pins ANSI mode, where
+            # x/0 raises SparkArithmeticException instead of yielding NULL —
+            # CASE WHEN evaluates the division only when n_sample > 0
+            F.when(
+                F.col("n_sample") > 0,
+                F.floor(F.col(f"_hits_{fam}") * F.lit(total) / F.col("n_sample")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(f"est_{fam}")
         )
     return row.select(*est_cols)

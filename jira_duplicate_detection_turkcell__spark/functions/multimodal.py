@@ -68,14 +68,23 @@ def extract_features(
                     "test decoder"
                 )
             payloads = b[payload_col]
+            # NULL payloads propagate as NULL outputs, matching the JVM-side
+            # sibling (binary_metadata: length/sha2 of NULL are NULL) — a
+            # bare len()/sha256() would kill the whole stage on one null row
             yield pd.DataFrame(
                 {
                     "doc_id": b[id_col],
-                    "n_bytes": payloads.map(len),
+                    "n_bytes": payloads.map(
+                        lambda p: len(p) if p is not None else None
+                    ),
                     "content_sha256": payloads.map(
                         lambda p: __import__("hashlib").sha256(p).hexdigest()
+                        if p is not None
+                        else None
                     ),
-                    "feature": payloads.map(lambda p: _fake_decode(p)),
+                    "feature": payloads.map(
+                        lambda p: _fake_decode(p) if p is not None else None
+                    ),
                 }
             )
 

@@ -60,16 +60,9 @@ def word_shingles(text: Column, w: int = 3) -> Column:
     as with string grams.
     """
     toks = tokens(text)
-    th = F.transform(toks, lambda t: F.xxhash64(t, F.lit(XXHASH_SEED)))
-    n = F.size(toks)
-    grams = F.when(
-        n >= w,
-        F.transform(
-            F.sequence(F.lit(0), n - w),
-            lambda i: F.xxhash64(*[F.get(th, i + j) for j in range(w)]),
-        ),
-    ).otherwise(F.array(F.xxhash64(F.array_join(toks, " "), F.lit(XXHASH_SEED))))
-    return F.array_distinct(grams)
+    # one body, two entry points: the gram construction lives only in
+    # word_shingles_from_hashes so the semantics cannot silently diverge
+    return word_shingles_from_hashes(token_hashes(text), toks, w)
 
 
 def word_gram_strings(text: Column, w: int = 3) -> Column:

@@ -38,8 +38,12 @@ class StageManifest:
     metrics: dict = field(default_factory=dict)
     schema_ddl: str = ""
     file_count: int = 0
-    # True when partition_rows holds only the first `file_cap` files (by
-    # name) — row_count/file_count stay exact, computed executor-side
+    # True when partition_rows does NOT cover every file counted by
+    # file_count — either the per-file lineage was capped at `file_cap`
+    # files (plain commits), or this is a segment-append manifest, whose
+    # partition_rows carry only the NEW segment's files (prior segments'
+    # lineage lives in the superseded manifests). row_count/file_count stay
+    # exact either way, computed executor-side.
     partition_rows_truncated: bool = False
     # data directories (under root/<stage>/) whose union is the stage table;
     # ["data"] for a plain commit, ["data", "data-g1", …] after segment

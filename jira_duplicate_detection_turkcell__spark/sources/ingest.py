@@ -48,40 +48,43 @@ def read_csv_robust(
 ) -> DataFrame:
     """Encoding × separator grid scan, reference-compatible (S1/S2/S4).
 
-    Every attempt reads only the header + a 10-row sample (cheap, driver-side
-    planning only); the winning combination is then used for the full
-    distributed read with all columns as strings (the reference forces
-    ``dtype=str``) and the reference's NA sentinels.
+    Every attempt checks the header column count AND parses a 10-row sample
+    under the exact options the full read would use (plus FAILFAST, so
+    decode/malformed errors surface as exceptions instead of silent NULL
+    rows) — a combination whose header splits wide enough but whose data
+    rows don't parse must lose to a later one that parses. The winner is
+    then used for the full distributed read with all columns as strings
+    (the reference forces ``dtype=str``) and the reference's NA sentinels.
     """
+
+    def _reader(mode: str):
+        return (
+            spark.read.option("header", True)
+            .option("sep", sep)
+            .option("encoding", encoding)
+            .option("multiLine", multi_line)
+            .option("quote", '"')
+            .option("escape", '"')
+            .option("nullValue", "")
+            .option("inferSchema", False)
+            .option("mode", mode)
+        )
+
     last_err: Exception | None = None
     for encoding in ENCODINGS:
         for sep in SEPARATORS:
             try:
-                sample = (
-                    spark.read.option("header", True)
-                    .option("sep", sep)
-                    .option("encoding", encoding)
-                    .csv(path)
-                    .limit(10)
-                )
-                if len(sample.columns) >= min_columns:
-                    reader = (
-                        spark.read.option("header", True)
-                        .option("sep", sep)
-                        .option("encoding", encoding)
-                        .option("multiLine", multi_line)
-                        .option("quote", '"')
-                        .option("escape", '"')
-                        .option("nullValue", "")
-                        .option("inferSchema", False)
-                    )
-                    df = reader.csv(path)
-                    # strip BOM/whitespace from headers (reference :541)
-                    for c in df.columns:
-                        clean = c.strip().replace("﻿", "")
-                        if clean != c:
-                            df = df.withColumnRenamed(c, clean)
-                    return df
+                sample = _reader("FAILFAST").csv(path)
+                if len(sample.columns) < min_columns:
+                    continue
+                sample.limit(10).collect()  # parse real rows, not just header
+                df = _reader("PERMISSIVE").csv(path)
+                # strip BOM/whitespace from headers (reference :541)
+                for c in df.columns:
+                    clean = c.strip().replace("﻿", "")
+                    if clean != c:
+                        df = df.withColumnRenamed(c, clean)
+                return df
             except Exception as exc:  # try next combination
                 last_err = exc
     raise ValueError(f"CSV could not be parsed with any encoding/separator: {last_err}")

@@ -75,6 +75,18 @@ def test_sampled_hit_rate_extrapolation(spark):
     assert out["est_version"] == 20
 
 
+def test_sampled_hit_rate_empty_table(spark):
+    # the session pins ANSI mode, where x/0 raises instead of yielding
+    # NULL — an empty corpus must produce a zero-count row, not a
+    # SparkArithmeticException from the n_sample=0 denominator
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = FX.sampled_hit_rate(
+        df, "text", {"version": [r"(\d+\.\d+\.\d+)"]}, sample_rows=10
+    ).collect()[0]
+    assert out["n_total"] == 0 and out["n_sample"] == 0
+    assert out["est_version"] == 0
+
+
 def test_version_triple_reference_zero_padding(spark):
     # oracle values hand-derived from the reference _normalize_version
     # (hybrid_search.py:254-262): every digit run is a component, first

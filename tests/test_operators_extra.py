@@ -312,6 +312,24 @@ def test_multimodal_metadata_and_fake_decode(spark):
     assert list(feats[2]["feature"]) == [0.0] * multimodal.FEATURE_DIM
 
 
+def test_multimodal_null_payload_yields_null_row(spark):
+    # NULL binary payloads (nullable column) must propagate as NULL outputs
+    # like the JVM-side binary_metadata, not kill the Python worker
+    df = spark.createDataFrame(
+        [(1, b"hello"), (2, None)], "doc_id long, payload binary"
+    )
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.extract_features(df, "payload", fake=True).collect()
+    }
+    assert feats[1]["n_bytes"] == 5
+    assert feats[2]["n_bytes"] is None
+    assert feats[2]["content_sha256"] is None
+    assert feats[2]["feature"] is None
+    meta = {r["doc_id"]: r for r in multimodal.binary_metadata(df, "payload").collect()}
+    assert meta[2]["n_bytes"] is None and meta[2]["content_sha256"] is None
+
+
 def test_multimodal_real_decode_raises(spark):
     df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
     with pytest.raises(Exception) as exc_info:

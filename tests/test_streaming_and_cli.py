@@ -371,6 +371,16 @@ def test_cli_append_in_process(spark, tmp_path):
     assert edges.count() == edges.distinct().count()
 
 
+def test_cli_rejects_non_positive_synth_n(tmp_path):
+    # `--synth-n 0` satisfies argparse's mutually-exclusive source group but
+    # must not fall through to the --input branch with input=None
+    from jira_duplicate_detection_turkcell__spark import cli
+
+    for n in ("0", "-5"):
+        with pytest.raises(SystemExit, match="positive"):
+            cli.main(["dedup", "--synth-n", n, "--output", str(tmp_path / "o")])
+
+
 def test_cli_append_refuses_missing_state(spark, tmp_path):
     import pytest as _pytest
 
