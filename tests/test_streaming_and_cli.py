@@ -222,6 +222,46 @@ def test_incremental_chained_appends_equal_full_rerun(spark):
     assert inc_edges == full_edges
 
 
+@pytest.mark.parametrize("seed,k", [(0, 2), (1, 3), (2, 4)])
+def test_random_split_appends_equal_full_rerun(spark, seed, k):
+    """append ≡ rebuild over seeded-RANDOM corpus splits (the fixed
+    interleaves above pick structured boundaries; random assignment
+    exercises arbitrary batch shapes — lopsided sizes, broken chains,
+    singleton batches) with every edge kind enabled."""
+    import numpy as np
+
+    cfg = P.DedupConfig(
+        enable_substring=True, minhash_bucket_cap=10_000, simhash_bucket_cap=10_000
+    )
+    pdf = synth.generate_pages_pdf(96, seed=42)
+    rng = np.random.RandomState(seed)
+    slot = rng.randint(0, k, size=len(pdf))
+    slot[:k] = np.arange(k)  # every batch non-empty (empty ≡ identity is
+    # pinned by its own test below)
+
+    full = P.run_dedup(spark, spark.createDataFrame(pdf), cfg)
+
+    state = P.run_dedup(spark, spark.createDataFrame(pdf[slot == 0]), cfg)
+    docs, postings = state["docs"], None
+    for step in range(1, k):
+        upd = incremental.apply_append(
+            state["signatures"],
+            state["edges"],
+            spark.createDataFrame(pdf[slot == step]),
+            cfg,
+            existing_docs=docs,
+            existing_postings=postings,
+        )
+        state, docs, postings = upd, upd["docs"], upd["postings"]
+
+    full_assign = {r["url"]: r["cluster_id"] for r in full["clusters"].collect()}
+    inc_assign = {r["url"]: r["cluster_id"] for r in state["clusters"].collect()}
+    assert inc_assign == full_assign
+    full_edges = {(r["key_l"], r["key_r"]) for r in full["edges"].collect()}
+    inc_edges = {(r["key_l"], r["key_r"]) for r in state["edges"].collect()}
+    assert inc_edges == full_edges
+
+
 def test_incremental_empty_batch_is_identity(spark):
     """Real ingestion hits empty batches; append of zero pages must leave
     edges and clusters exactly unchanged (every edge kind enabled)."""
