@@ -186,9 +186,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents").select(
             F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("url"), "text"
         )
-        return suffix.substring_edges(docs, "text", "url", SUBSTR_LEN).select(
-            "key_l", "key_r"
-        ).distinct()
+        # max_group_docs effectively unbounded: the DuckDB oracle enumerates
+        # EVERY sharing pair, so this query must run the full per-group SA
+        # verification at any component size. The production default (256)
+        # degrades oversized boilerplate components to spanning-certificate
+        # star edges — correct for CLUSTERING (same connected components)
+        # but deliberately NOT the full pair enumeration this oracle checks.
+        return suffix.substring_edges(
+            docs, "text", "url", SUBSTR_LEN, max_group_docs=1_000_000_000
+        ).select("key_l", "key_r").distinct()
 
     def q_dedup_clusters(spark, sf_dir):
         pairs = _minhash_verified_pairs(spark, sf_dir).select(

@@ -157,7 +157,7 @@ def salted_bucket_pairs(
         (F.col("_ci") != F.col("_cj")) | (F.col("key_l") < F.col("key_r"))
     )
     pairs = _pair_select(joined, carry_cols, out_bucket_cols)
-    return pairs, hot.select(*bcols, F.col("_bsz").alias("count"))
+    return pairs, hot.select(*bcols, F.col("_bsz").alias("est_size"))
 
 
 def salted_bipartite_pairs(
@@ -224,4 +224,4 @@ def salted_bipartite_pairs(
         F.col("key_l") != F.col("key_r")
     )
     pairs = _pair_select(joined, carry_cols, out_bucket_cols)
-    return pairs, hot_all.select(*bcols, F.col("_bsz").alias("count"))
+    return pairs, hot_all.select(*bcols, F.col("_bsz").alias("est_size"))

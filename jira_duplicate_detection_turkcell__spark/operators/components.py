@@ -226,18 +226,24 @@ def connected_components(
     graphs converge in a handful of propagation rounds and never reach
     this.
     """
-    if edge_count is None and small_graph_edges:
-        edge_count = edges.count()
-    if small_graph_edges and edge_count <= small_graph_edges:
-        assigned = _single_task_components(edges)
+    def attach_singletons(assigned):
+        # one shared epilogue for every exit path: nodes with no edges keep
+        # themselves as cluster_id (three diverging copies of this block is
+        # how an output-changing tweak could silently apply to only one
+        # execution path)
         base = nodes.select(key_col)
         if not nodes_unique:
             base = base.distinct()
-        return base.join(
-            assigned.withColumnRenamed("node", key_col), key_col, "left"
-        ).select(
+        return base.join(assigned, key_col, "left").select(
             key_col,
             F.coalesce(F.col("cluster_id"), F.col(key_col)).alias("cluster_id"),
+        )
+
+    if edge_count is None and small_graph_edges:
+        edge_count = edges.count()
+    if small_graph_edges and edge_count <= small_graph_edges:
+        return attach_singletons(
+            _single_task_components(edges).withColumnRenamed("node", key_col)
         )
 
     sym = edges.select(F.col("key_l").alias("src"), F.col("key_r").alias("dst")).union(
@@ -309,15 +315,8 @@ def connected_components(
             f"exceeds {max_iter * hops_per_round}"
         )
         if on_nonconverged == "star":
-            assigned = _star_components(edges)
-            base = nodes.select(key_col)
-            if not nodes_unique:
-                base = base.distinct()
-            return base.join(
-                assigned.withColumnRenamed("node", key_col), key_col, "left"
-            ).select(
-                key_col,
-                F.coalesce(F.col("cluster_id"), F.col(key_col)).alias("cluster_id"),
+            return attach_singletons(
+                _star_components(edges).withColumnRenamed("node", key_col)
             )
         if on_nonconverged == "warn":
             import sys
@@ -326,17 +325,6 @@ def connected_components(
         else:
             raise RuntimeError(msg + "; pass on_nonconverged='star' to re-resolve")
 
-    assigned = labels.select(
-        F.col("node").alias(key_col), F.col("label").alias("cluster_id")
-    )
-    base = nodes.select(key_col)
-    if not nodes_unique:
-        base = base.distinct()
-    return (
-        base
-        .join(assigned, key_col, "left")
-        .select(
-            key_col,
-            F.coalesce(F.col("cluster_id"), F.col(key_col)).alias("cluster_id"),
-        )
+    return attach_singletons(
+        labels.select(F.col("node").alias(key_col), F.col("label").alias("cluster_id"))
     )

@@ -154,24 +154,34 @@ def suffix_array(codes: np.ndarray) -> np.ndarray:
 
 
 def lcp_array(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """Kasai LCP: lcp[i] = LCP(suffix sa[i], suffix sa[i+1])."""
+    """Kasai LCP: lcp[i] = LCP(suffix sa[i], suffix sa[i+1]).
+
+    Kasai's h-decrement walk is inherently sequential, so the loop stays in
+    Python — but over plain lists, not numpy arrays: scalar indexing on
+    ndarrays boxes a numpy scalar per access (~10× a list index), and this
+    loop is the per-group verification's hot spot on large boilerplate
+    groups (total work is O(n) amortized; every h increment is matched by
+    at most one decrement)."""
     n = codes.size
     rank = np.empty(n, dtype=np.int64)
     rank[sa] = np.arange(n)
-    lcp = np.zeros(max(n - 1, 0), dtype=np.int64)
+    lcp = [0] * max(n - 1, 0)
+    codes_l = codes.tolist()
+    sa_l = sa.tolist()
+    rank_l = rank.tolist()
     h = 0
     for i in range(n):
-        r = rank[i]
+        r = rank_l[i]
         if r < n - 1:
-            j = sa[r + 1]
-            while i + h < n and j + h < n and codes[i + h] == codes[j + h]:
+            j = sa_l[r + 1]
+            while i + h < n and j + h < n and codes_l[i + h] == codes_l[j + h]:
                 h += 1
             lcp[r] = h
             if h:
                 h -= 1
         else:
             h = 0
-    return lcp
+    return np.asarray(lcp, dtype=np.int64)
 
 
 def _pair_lcs(
@@ -221,10 +231,13 @@ def _group_spans(pdf: pd.DataFrame, min_len: int, exact_lcs: bool = False) -> pd
     run-min LCP — a guaranteed shared-substring length (≥ min_len; not
     necessarily the longest common substring of the pair).
     """
+    # object dtype for the key columns: the group key type follows the
+    # caller's key column (string urls, long doc_ids, …) — Arrow casts the
+    # python values (or the empty column) to the declared schema either way
     empty = pd.DataFrame(
         {
-            "key_l": pd.Series(dtype=str),
-            "key_r": pd.Series(dtype=str),
+            "key_l": pd.Series(dtype=object),
+            "key_r": pd.Series(dtype=object),
             "span_len": pd.Series(dtype="int64"),
         }
     )
@@ -259,6 +272,11 @@ def _group_spans(pdf: pd.DataFrame, min_len: int, exact_lcs: bool = False) -> pd
         for ai in range(uniq.size):
             for bi in range(ai + 1, uniq.size):
                 a, b = uniq[ai], uniq[bi]
+                if keys[a] == keys[b]:
+                    # the same url appearing twice in one group (duplicate
+                    # input rows) must not emit a self-edge — the engine-wide
+                    # edge contract is distinct pairs with key_l < key_r
+                    continue
                 ka, kb = (
                     (keys[a], keys[b]) if keys[a] < keys[b] else (keys[b], keys[a])
                 )
@@ -457,8 +475,11 @@ def _grouped_verify(
     def verify_group(pdf: pd.DataFrame) -> pd.DataFrame:
         return _group_spans(pdf, min_len, exact_lcs)
 
+    # schema follows the caller's key type (string urls, long doc_ids, …) —
+    # a hard-coded string schema crashed long-keyed callers at Arrow time
+    key_dt = dict(slim.dtypes)[key_col]
     small_edges = small.groupBy("cluster_id").applyInPandas(
-        verify_group, "key_l string, key_r string, span_len long"
+        verify_group, f"key_l {key_dt}, key_r {key_dt}, span_len long"
     )
     if pairs is not None:
         # sampled fingerprints: the group SA emits every pair sharing an

@@ -361,7 +361,7 @@ def test_mega_bucket_true_pairs_recovered_with_bounded_tasks(spark):
     )
     # hot-bucket size is a sampled estimate (work-spreading only, see
     # operators/buckets.py) — it must still flag the planted mega-bucket
-    est = hot.collect()[0]["count"]
+    est = hot.collect()[0]["est_size"]
     assert 0.5 * n <= est <= 1.5 * n
     assert pairs.count() == n * (n - 1) // 2  # every unordered pair, exactly once
     probe = pairs.filter(

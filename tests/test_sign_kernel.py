@@ -142,3 +142,56 @@ def test_zipimport_invalidate_stat_guard(tmp_path):
         assert calls["n"] == 2  # mtime moved -> genuine re-read
     finally:
         zipimport._read_directory = orig
+
+
+def test_kernel_tokenizer_matches_jvm_on_exotic_whitespace(spark):
+    """The numpy kernel's tokenizer must equal the JVM tokenizer
+    (functions/shingle.tokens = split(trim(text), '\\s+')) on Unicode
+    whitespace Java's ASCII \\s does NOT split on (U+2028 LS, U+0085 NEL,
+    U+00A0 NBSP) and on edge whitespace where Java split keeps empty
+    tokens. Python str.split() used to split on all of these and drop
+    empties, silently forking gram sets between the minhash path and the
+    JVM/ngram/oracle paths on real crawl text."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from jira_duplicate_detection_turkcell__spark.functions.shingle import (
+        tokens,
+        word_shingles,
+    )
+    from jira_duplicate_detection_turkcell__spark.operators import signatures
+
+    texts = [
+        "alpha\u2028beta gamma delta epsilon",  # LS inside a "token"
+        "one\u0085two three four five",         # NEL
+        "nb\u00a0sp joined tokens here now",    # NBSP
+        "\tleading tab token stream here",      # Java split: empty lead tok
+        "plain ascii words only here now",      # control
+        "a b",                                  # short row fallback
+    ]
+    docs = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(texts)], "url string, text string"
+    )
+    jvm = {
+        r["url"]: (list(r["toks"]), r["n_grams"])
+        for r in docs.select(
+            "url",
+            tokens(F.col("text")).alias("toks"),
+            F.size(word_shingles(F.col("text"), 3)).alias("n_grams"),
+        ).collect()
+    }
+    kernel = {
+        r["url"]: len(r["shingles"])
+        for r in signatures.sign_docs(
+            docs, shingle_w=3, num_perm=16, seed=7, bands=4, rows=4
+        ).collect()
+    }
+    ws = re.compile(r"[ \t\n\x0b\x0c\r]+")
+    for i, t in enumerate(texts):
+        url = f"d{i}"
+        # token-stream parity with the real JVM output
+        assert ws.split(t.strip(" ")) == jvm[url][0], url
+        # gram-set SIZE parity kernel vs JVM (hash domains differ by design;
+        # the gram identity -- the token tuple -- must not)
+        assert kernel[url] == jvm[url][1], url
